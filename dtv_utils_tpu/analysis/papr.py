@@ -1,0 +1,231 @@
+"""PAPR + CCDF analyzer for float32 interleaved-IQ streams.
+
+Behavioral parity target: /root/reference/papr.c — two passes over the file
+(global power stats, then % of samples above each 1 dB / 0.1 dB level), with
+byte-identical stdout.  TPU-native redesign:
+
+  * the O(samples x levels) threshold-compare loop (papr.c:147-151) becomes a
+    single ``searchsorted`` + bincount + suffix-sum — one fused device pass;
+  * per-sample power/peak/rail statistics are associative reductions, so the
+    file streams through device memory in chunks of any size and shards
+    across devices/hosts trivially;
+  * float32 sample math + float64 accumulation reproduce the C float/double
+    split bit-for-bit on real inputs.
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _power_f32(i: jax.Array, q: jax.Array) -> jax.Array:
+    """i² + q² with separately-rounded float32 products.
+
+    The reference computes float32 mul, float32 mul, float32 add
+    (papr.c:103); XLA would otherwise fuse this into an FMA whose different
+    rounding flips last-ulp peak values.  Rounding each product through
+    float32 explicitly (f64 product → f32 is the same rounding as an f32
+    multiply) blocks the fusion while keeping one vector pass.
+    """
+    ii = (i.astype(jnp.float64) * i.astype(jnp.float64)).astype(jnp.float32)
+    qq = (q.astype(jnp.float64) * q.astype(jnp.float64)).astype(jnp.float32)
+    return ii + qq
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _pass1_chunk(i: jax.Array, q: jax.Array):
+    """Stats of one chunk: everything needed by papr.c's first pass.
+
+    Returns (power_sum_f64, peak, peak_idx, rail_max/min and their idxs, n).
+    Indices are chunk-local; the streaming combiner rebases them.
+    """
+    power = _power_f32(i, q)
+    peak_idx = jnp.argmax(power)
+    return dict(
+        power_sum=jnp.sum(power.astype(jnp.float64)),
+        peak=power[peak_idx], peak_idx=peak_idx,
+        real_pos=jnp.max(i), real_pos_idx=jnp.argmax(i),
+        real_neg=jnp.min(i), real_neg_idx=jnp.argmin(i),
+        imag_pos=jnp.max(q), imag_pos_idx=jnp.argmax(q),
+        imag_neg=jnp.min(q), imag_neg_idx=jnp.argmin(q),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _pass2_chunk(i: jax.Array, q: jax.Array, levels: jax.Array):
+    """Count of samples with power strictly above each ascending level."""
+    power = _power_f32(i, q)
+    idx = jnp.searchsorted(levels, power, side="left")  # #levels < power
+    hist = jnp.bincount(idx, length=levels.shape[0] + 1)
+    # counts[j] = sum_{m > j} hist[m]
+    suffix = jnp.cumsum(hist[::-1])[::-1]
+    return suffix[1:].astype(jnp.int64)
+
+
+class PaprStats:
+    """Aggregated first-pass statistics (reference semantics).
+
+    Reference nuances preserved: peaks start at 0.0 and update only on a
+    STRICT improvement (papr.c:105-126), so the first occurrence wins and
+    all-negative rails report 0.0 @ 0.
+    """
+
+    def __init__(self):
+        self.n = 0
+        self.power_sum = 0.0
+        self.peak = 0.0
+        self.peak_offset = 0
+        self.real_pos = 0.0
+        self.real_pos_offset = 0
+        self.real_neg = 0.0
+        self.real_neg_offset = 0
+        self.imag_pos = 0.0
+        self.imag_pos_offset = 0
+        self.imag_neg = 0.0
+        self.imag_neg_offset = 0
+
+    def update(self, chunk_stats: dict, base: int):
+        s = {k: np.asarray(v) for k, v in chunk_stats.items()}
+        self.power_sum += float(s["power_sum"])
+        if float(s["peak"]) > self.peak:
+            self.peak = float(s["peak"])
+            self.peak_offset = base + int(s["peak_idx"])
+        for rail, cmp in (("real_pos", 1), ("real_neg", -1),
+                          ("imag_pos", 1), ("imag_neg", -1)):
+            v = float(s[rail])
+            if cmp * v > cmp * getattr(self, rail):
+                setattr(self, rail, v)
+                setattr(self, rail + "_offset", base + int(s[rail + "_idx"]))
+
+    @property
+    def mean_power(self) -> float:
+        return self.power_sum / self.n if self.n else 0.0
+
+    @property
+    def papr_db(self) -> float:
+        # C: float papr = 10 * log10((double)peak / sum) — double math,
+        # then one rounding to float32 on assignment (papr.c:134)
+        return float(np.float32(10.0 * np.log10(self.peak / self.mean_power)))
+
+
+def _iter_chunks(path: str, chunk_complex: int):
+    """Yield (i, q, base_offset) float32 arrays from an interleaved cfile."""
+    base = 0
+    with open(path, "rb") as f:
+        while True:
+            raw = np.fromfile(f, dtype=np.float32, count=2 * chunk_complex)
+            if raw.size == 0:
+                break
+            if raw.size % 2:  # trailing half-sample: drop the odd float,
+                raw = raw[:-1]  # like the reference's i+=2 stride would
+            pairs = raw.reshape(-1, 2)
+            yield pairs[:, 0], pairs[:, 1], base
+            base += pairs.shape[0]
+            if raw.size < 2 * chunk_complex:
+                break
+
+
+def analyze_file(path: str, chunk_complex: int = 1 << 22) -> PaprStats:
+    stats = PaprStats()
+    # x64 must actually be on: the f64 power accumulation silently truncates
+    # to f32 otherwise, flipping the last printed PAPR digit vs. the C tool.
+    with jax.enable_x64():
+        for i, q, base in _iter_chunks(path, chunk_complex):
+            stats.update(_pass1_chunk(jnp.asarray(i), jnp.asarray(q)), base)
+            stats.n += i.shape[0]
+    return stats
+
+
+def ccdf_counts(path: str, levels: np.ndarray,
+                chunk_complex: int = 1 << 22) -> np.ndarray:
+    counts = np.zeros(len(levels), dtype=np.int64)
+    with jax.enable_x64():
+        lv = jnp.asarray(levels.astype(np.float32))
+        for i, q, _ in _iter_chunks(path, chunk_complex):
+            counts += np.asarray(
+                _pass2_chunk(jnp.asarray(i), jnp.asarray(q), lv))
+    return counts
+
+
+def make_levels(mean_power: float, papr_db: float, graph: bool) -> np.ndarray:
+    """levels[i] = 10^(step·i/10) · mean, float32 (papr.c:138-141,169-172)."""
+    if graph:
+        # the reference accumulates index += 0.1f in float32 (papr.c:169-173),
+        # so the float32 rounding error accumulates — replicate exactly
+        n = int(np.float32(papr_db) * np.float32(10)) + 1
+        idx = np.empty(n, dtype=np.float32)
+        acc = np.float32(0.0)
+        for i in range(n):
+            idx[i] = acc
+            acc = acc + np.float32(0.1)
+    else:
+        n = int(papr_db) + 1
+        idx = np.arange(n, dtype=np.float32)
+    return (np.power(10.0, (idx / np.float32(10)).astype(np.float64))
+            * mean_power).astype(np.float32)
+
+
+def format_report(stats: PaprStats, counts: np.ndarray, graph: bool) -> str:
+    """Byte-identical stdout of ``papr [-g] <infile>`` (papr.c:130-190)."""
+    out = []
+    n = np.float32(stats.n)
+    if not graph:
+        out.append(f"Peak magnitude = {np.sqrt(stats.peak):f}")
+        out.append(f"average power = {stats.mean_power:f}, "
+                   f"peak power = {stats.peak:f} @ {stats.peak_offset * 8}")
+        out.append("")
+        out.append(f"Maximum PAPR = {stats.papr_db:f}")
+        for i, c in enumerate(counts):
+            # C: ((float)count/(float)offset) * 100.0 — f32 divide, then
+            # promotion to double for the multiply (papr.c:155)
+            pct = float(np.float32(c) / n) * 100.0
+            out.append(f"percentage above {i} dB = {pct:0.8f}")
+        out.append("")
+        out.append(f"peak real positive = {stats.real_pos:f}, "
+                   f"peak imaginary positive = {stats.imag_pos:f}")
+        out.append(f"peak real negative = {stats.real_neg:f}, "
+                   f"peak imaginary negative = {stats.imag_neg:f}")
+        out.append("")
+        out.append(f"peak real positive @ {stats.real_pos_offset * 8}, "
+                   f"peak imaginary positive @ {stats.imag_pos_offset * 8 + 1}")
+        out.append(f"peak real negative @ {stats.real_neg_offset * 8}, "
+                   f"peak imaginary negative @ {stats.imag_neg_offset * 8 + 1}")
+        return "\n".join(out) + "\n"
+    for c in counts:
+        pct = float(np.float32(c) / n) * 100.0
+        out.append(f"{pct:0.8f}")
+    return "\n".join(out) + "\n"
+
+
+def cli(argv: list[str]) -> int:
+    graph = False
+    if len(argv) not in (1, 2):
+        print("usage: papr -g <infile>\nOptions:\n\tg = graph suitable output",
+              file=sys.stderr)
+        return 255
+    if len(argv) == 2:
+        if not argv[0].startswith("-"):
+            print("usage: papr -g <infile>", file=sys.stderr)
+            return 255
+        for ch in argv[0][1:]:
+            if ch in "gG":
+                graph = True
+            else:
+                print(f"Unsupported Option: {ch}", file=sys.stderr)
+        path = argv[1]
+    else:
+        path = argv[0]
+    try:
+        stats = analyze_file(path)
+    except FileNotFoundError:
+        print(f"Cannot open bitstream file <{path}>", file=sys.stderr)
+        return 255
+    levels = make_levels(stats.mean_power, stats.papr_db, graph)
+    counts = ccdf_counts(path, levels)
+    sys.stdout.write(format_report(stats, counts, graph))
+    return 0
