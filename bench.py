@@ -1,0 +1,69 @@
+"""Benchmark: DVB-T 8k 64QAM 7/8 modulator throughput (the BASELINE.md
+primary metric).  Prints ONE JSON line.
+
+vs_baseline is measured against the reference's implied real-time floor:
+a bladeRF transmitting 8 MHz DVB-T needs 9.142857 Msps complex
+(/root/reference/dvbt-blade.py:146) — the reference chain is built to just
+sustain that on a desktop CPU.  Values >> 1 mean one chip can modulate that
+many simultaneous full-rate muxes.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_MSPS = 8e6 * 8 / 7 / 1e6      # 9.142857 Msps
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from dtv_utils_tpu.core.config import (Constellation, CodeRate,
+                                           DvbtConfig, GuardInterval,
+                                           TransmissionMode)
+    from dtv_utils_tpu.tx import dvbt as txd
+
+    cfg = DvbtConfig(mode=TransmissionMode.M8K, bandwidth_mhz=8,
+                     constellation=Constellation.QAM64,
+                     code_rate=CodeRate.R7_8, guard=GuardInterval.G1_32)
+
+    fn = jax.jit(lambda ts, st: txd.modulate_superframe(cfg, ts, st),
+                 donate_argnums=(1,))
+
+    rng = np.random.default_rng(0)
+    n_bufs = 4
+    blk = cfg.ts_bytes_per_superframe
+    bufs = []
+    for i in range(n_bufs):
+        ts = rng.integers(0, 256, size=blk, dtype=np.uint8)
+        ts[::188] = 0x47
+        bufs.append(jax.device_put(jnp.asarray(ts)))
+
+    state = txd.init_state(cfg)
+    # warmup (compile + 2 steady iterations)
+    for i in range(3):
+        iq, state = fn(bufs[i % n_bufs], state)
+    iq.block_until_ready()
+
+    n_iter = 20
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        iq, state = fn(bufs[i % n_bufs], state)
+    iq.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    msps = n_iter * cfg.samples_per_superframe / dt / 1e6
+    print(json.dumps({
+        "metric": "dvbt_8k_qam64_r78_iq_throughput",
+        "value": round(msps, 3),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(msps / BASELINE_MSPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

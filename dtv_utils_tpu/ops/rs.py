@@ -38,13 +38,14 @@ class RsBitEncoder:
         self.nroots = nroots
         self.m = gf.m
         self.genpoly = gf.rs_generator_poly(nroots, first_root, root_step)
-        # [k_sym*m, nroots*m] uint8 — built once on host
+        # [k_sym*m, nroots*m] uint8 — built once on host.  Kept as NumPy:
+        # encoder instances are cached across jit traces, so they must never
+        # hold jax values (first construction may happen under a trace).
         self.M = rs_parity_bitmatrix(gf, k_sym, self.genpoly)
-        self._M_dev = jnp.asarray(self.M, dtype=jnp.int8)
 
     def parity_bits(self, msg_bits: jnp.ndarray) -> jnp.ndarray:
         """msg_bits [..., k_sym*m] in {0,1} → parity bits [..., nroots*m]."""
-        return gf2_matmul(msg_bits, self._M_dev)
+        return gf2_matmul(msg_bits, self.M.astype(np.int8))
 
     def encode_bytes(self, msg: jnp.ndarray) -> jnp.ndarray:
         """uint8 msg [..., k_sym] (m==8 only) → codeword [..., k_sym+nroots]."""

@@ -1,0 +1,136 @@
+"""Sequence-parallel DVB-T modulation over a device mesh.
+
+The reference has no distributed execution at all (SURVEY.md §2.2: no
+MPI/NCCL anywhere; GNU Radio gives it single-host pipeline threading).  The
+TPU design shards the *time axis*: superframe i goes to device i mod N, and
+the chain's tiny streaming state is NOT passed sequentially — every element
+of ``DvbtState`` is a pure function of the previous block's raw TS bytes:
+
+  * dispersal packet phase  = (block_index * packets_per_block) mod 8
+    (pure arithmetic);
+  * outer interleaver carry = last 2244 bytes of RS(dispersal(prev block)) —
+    recomputable from the previous block's last 12 packets;
+  * conv-coder state        = 6 bits of one RS output byte of the prev block
+    (the last outer-interleaved byte), same 12-packet window.
+
+So the only communication is a one-hop ``ppermute`` of a 2256-byte raw halo
+per device — everything else is embarrassingly parallel.  The recompute cost
+is 12 packets of RS per device versus ~5000 packets of full chain: <0.3%.
+
+This file is the framework's "tensor/sequence parallelism" layer in the
+scaling-book sense: mesh axis ``seq``, shardings annotated with shard_map,
+collectives ride ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dtv_utils_tpu.core import bits as bitops
+from dtv_utils_tpu.core.config import DvbtConfig
+from dtv_utils_tpu.core.prbs import dvbt_dispersal_mask
+from dtv_utils_tpu.ops.rs import DVBT_RS
+from dtv_utils_tpu.ops.interleave import forney_carry_len
+from dtv_utils_tpu.tx import dvbt as txd
+
+HALO_PACKETS = 12      # 12·204 = 2448 ≥ 2244-byte interleaver carry
+
+
+def make_mesh(devices=None, axis: str = "seq") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def derive_state(cfg: DvbtConfig, prev_tail: jax.Array,
+                 block_idx: jax.Array) -> txd.DvbtState:
+    """Reconstruct the stream state at the start of block ``block_idx`` from
+    the previous block's last HALO_PACKETS packets of raw TS bytes.
+
+    prev_tail: uint8 [HALO_PACKETS*188]; block_idx: int32 scalar (global).
+    For block 0 the result must be discarded in favour of init_state().
+    """
+    n_pkt = cfg.rs_blocks_per_superframe
+    # dispersal phase of the first halo packet / of our block
+    halo_phase = (block_idx * n_pkt - HALO_PACKETS) % 8
+    my_phase = (block_idx * n_pkt) % 8
+
+    mask, _ = dvbt_dispersal_mask()
+    base = np.tile(mask, (HALO_PACKETS * 188) // len(mask) + 2)
+    masks = np.stack([base[ph * 188: ph * 188 + HALO_PACKETS * 188]
+                      for ph in range(8)])
+    dispersed = prev_tail ^ jnp.asarray(masks)[halo_phase]
+
+    rs_tail = DVBT_RS().encode_bytes(
+        dispersed.reshape(HALO_PACKETS, 188)).reshape(-1)
+    C = forney_carry_len(txd.OUTER_I, txd.OUTER_M)
+    outer_carry = rs_tail[-C:]
+    # The last outer-interleaved byte of the previous block is its RS byte
+    # n-1-(11*204) = n-2245 (branch 11 of the Forney commutator), which sits
+    # at index 2448-2245 = 203 inside this tail; conv state = its bits,
+    # most-recent (LSB) first.
+    last_byte = rs_tail[HALO_PACKETS * 204 - C - 1]
+    conv_state = (last_byte >> jnp.arange(6, dtype=jnp.uint8)) & 1
+    return txd.DvbtState(packet_phase=my_phase.astype(jnp.int32),
+                         outer_carry=outer_carry,
+                         conv_state=conv_state.astype(jnp.uint8))
+
+
+def sharded_dvbt_modulator(cfg: DvbtConfig, mesh: Mesh, axis: str = "seq"):
+    """Build a jit'd function [n_blocks, ts_bytes] → [n_blocks, samples]
+    with both axes block-sharded over ``mesh`` along the time dimension.
+
+    n_blocks must be a multiple of the mesh size.  Block 0 starts a fresh
+    stream (zero interleaver/coder state), matching modulate_stream.
+    """
+    n_dev = mesh.shape[axis]
+    blk = cfg.ts_bytes_per_superframe
+    halo = HALO_PACKETS * 188
+
+    def local_fn(ts_local: jax.Array) -> jax.Array:
+        # ts_local: [L, blk] — this device's consecutive? NO: see layout note.
+        # Layout: blocks are distributed contiguously: device d holds global
+        # blocks [d*L, (d+1)*L).
+        L = ts_local.shape[0]
+        d = jax.lax.axis_index(axis)
+
+        # halo from the previous device's last block (ring, one hop)
+        my_last_tail = ts_local[-1, -halo:]
+        prev_tail0 = jax.lax.ppermute(
+            my_last_tail, axis,
+            [(i, (i + 1) % n_dev) for i in range(n_dev)])
+        # previous-block tails for local blocks 1..L-1 are local
+        prev_tails = jnp.concatenate(
+            [prev_tail0[None], ts_local[:-1, -halo:]], axis=0)   # [L, halo]
+
+        global_idx = d * L + jnp.arange(L, dtype=jnp.int32)
+        states = jax.vmap(lambda t, i: derive_state(cfg, t, i))(
+            prev_tails, global_idx)
+        # block 0 of the whole stream: fresh state
+        init = txd.init_state(cfg)
+        is_first = (global_idx == 0)
+        states = jax.tree.map(
+            lambda s, z: jnp.where(
+                is_first.reshape((L,) + (1,) * (z.ndim)), z[None], s),
+            states, init)
+
+        def one(ts_i, st_i):
+            iq, _ = txd.modulate_superframe(cfg, ts_i, st_i)
+            return iq
+        return jax.vmap(one)(ts_local, states)
+
+    sharded = jax.shard_map(local_fn, mesh=mesh,
+                            in_specs=P(axis, None), out_specs=P(axis, None))
+
+    @jax.jit
+    def run(ts_blocks: jax.Array) -> jax.Array:
+        assert ts_blocks.shape[0] % n_dev == 0
+        assert ts_blocks.shape[1] == blk
+        return sharded(ts_blocks)
+
+    in_sharding = NamedSharding(mesh, P(axis, None))
+    return run, in_sharding

@@ -33,8 +33,8 @@ import numpy as np
 from dtv_utils_tpu.core import bits as bitops
 from dtv_utils_tpu.core.config import DvbtConfig
 from dtv_utils_tpu.core.prbs import dvbt_dispersal_mask
-from dtv_utils_tpu.ops.convcode import conv_encode, puncture_indices
-from dtv_utils_tpu.ops.interleave import forney_carry_len, forney_gather_indices
+from dtv_utils_tpu.ops.convcode import conv_encode
+from dtv_utils_tpu.ops.interleave import forney_carry_len
 from dtv_utils_tpu.ops.rs import DVBT_RS
 from dtv_utils_tpu.tx import dvbt_tables as T
 
@@ -74,24 +74,33 @@ def _plan(cfg: DvbtConfig):
     base = np.tile(mask, total // len(mask) + 2)
     for ph in range(8):
         masks[ph] = base[ph * 188: ph * 188 + total]
-    punct = puncture_indices(cfg.code_rate.value,
-                             n_pairs=n_pkt * 204 * 8)
-    bit_ilv = T.bit_interleaver_indices(v, n_cells)
+    del n_cells
+    # puncture: small per-period column selector (serial order: X_i then Y_i)
+    from dtv_utils_tpu.ops.convcode import PUNCTURE_PATTERNS
+    xp, yp = PUNCTURE_PATTERNS[cfg.code_rate.value]
+    keep_cols = []
+    for i in range(len(xp)):
+        if xp[i]:
+            keep_cols.append(2 * i)
+        if yp[i]:
+            keep_cols.append(2 * i + 1)
     even_idx, odd_idx = T.symbol_interleaver_gather(cfg.mode)
-    sym_idx = np.stack([even_idx, odd_idx])        # [2, n_data]
     lut = T.constellation_lut(cfg.constellation)
     plan_c = T.carrier_plan(cfg)
     pow2 = (1 << np.arange(v - 1, -1, -1)).astype(np.int32)
-    # NumPy only: this cache is shared across jit traces, so it must never
-    # hold jax values (they would be tracers when first built under a trace).
+    demux_pos = np.argsort(np.asarray(T.DEMUX[v]))
+    # NumPy only, and no full-stream index tables: giant gather constants
+    # bloat the executable (hundreds of MB at 8k 64QAM) — every permutation
+    # below is expressed with strided slices / rolls / tiny index vectors.
     return dict(
         masks=masks,
-        forney_idx=forney_gather_indices(OUTER_I, OUTER_M, n_pkt * 204),
-        punct=punct,
-        bit_ilv=bit_ilv,
-        sym_idx=sym_idx,
+        punct_period=len(xp),
+        keep_cols=np.asarray(keep_cols, dtype=np.int32),
+        demux_pos=demux_pos.astype(np.int32),
+        even_idx=even_idx.astype(np.int32),
+        odd_idx=odd_idx.astype(np.int32),
         lut=lut,
-        gidx=plan_c.gidx,
+        gidx=plan_c.gidx.astype(np.int32),
         static_cells=plan_c.static_cells,
         pow2=pow2,
     )
@@ -116,35 +125,52 @@ def encode_to_carriers(cfg: DvbtConfig, ts: jax.Array,
     pkts = dispersed.reshape(n_pkt, 188)
     coded = DVBT_RS().encode_bytes(pkts).reshape(n_pkt * 204)
 
-    # 3. outer (Forney) convolutional interleaver — gather w/ carry tail
+    # 3. outer (Forney) convolutional interleaver.  out[12r + b] =
+    # ext[C + 12r + b - 204b]: one strided slice per branch, no index table.
     C = state.outer_carry.shape[0]
     ext = jnp.concatenate([state.outer_carry, coded])
-    outer = ext[p["forney_idx"]]
+    n_bytes = n_pkt * 204
+    rows = n_bytes // OUTER_I
+    cols = [jax.lax.slice(ext, (C + b - OUTER_I * OUTER_M * b,),
+                          (C + b - OUTER_I * OUTER_M * b + OUTER_I * rows,),
+                          (OUTER_I,))
+            for b in range(OUTER_I)]
+    outer = jnp.stack(cols, axis=1).reshape(n_bytes)
     new_outer_carry = ext[-C:]
 
     # 4. inner coder: K=7 mother code on the bitstream + puncturing
     dbits = bitops.bytes_to_bits(outer)
     xy = conv_encode(dbits, state.conv_state)          # [nbits, 2]
     new_conv_state = dbits[-6:][::-1]                  # most recent first
-    punctured = xy.reshape(-1)[p["punct"]]             # serial kept bits
+    # puncture: pick kept (step, X/Y) columns within each period
+    per = p["punct_period"]
+    punctured = xy.reshape(-1, 2 * per)[:, p["keep_cols"]].reshape(-1)
 
-    # 5. bit interleaver → cell words [n_cells, v]
-    cell_bits = punctured[p["bit_ilv"]]
-    words = jnp.sum(cell_bits.astype(jnp.int32) * p["pow2"], axis=-1)
+    # 5. bit interleaver: demux = column pick, H_e(w)=(w+off_e)%126 = roll
+    bits3 = punctured.reshape(-1, T.BIT_ILV_BLOCK, v)  # [blk, w, j]
+    cell_cols = [jnp.roll(bits3[:, :, int(p["demux_pos"][e])],
+                          -T.BIT_ILV_OFFSETS[e], axis=1)
+                 for e in range(v)]
+    cell_bits = jnp.stack(cell_cols, axis=-1)          # [blk, w, e]
+    words = jnp.sum(cell_bits.reshape(-1, v).astype(jnp.int32) * p["pow2"],
+                    axis=-1)
 
-    # 6. symbol interleaver (per-symbol even/odd permutation)
-    sym_words = words.reshape(n_sym, n_data)
-    gather = p["sym_idx"][np.arange(n_sym) % 2]        # [n_sym, n_data]
-    sym_words = jnp.take_along_axis(sym_words, jnp.asarray(gather), axis=1)
+    # 6. symbol interleaver: one small [n_data] gather per parity class
+    sym_words = words.reshape(n_sym // 2, 2, n_data)
+    sym_words = jnp.stack(
+        [sym_words[:, 0, :][:, p["even_idx"]],
+         sym_words[:, 1, :][:, p["odd_idx"]]], axis=1).reshape(n_sym, n_data)
 
     # 7. QAM map
     data_cells = jnp.asarray(p["lut"])[sym_words]      # complex64
 
-    # 8. pilots + TPS: one gather from [data || static] per symbol
+    # 8. pilots + TPS: per-phase [K] gather from [data || static]
     source = jnp.concatenate(
         [data_cells, jnp.asarray(p["static_cells"])], axis=1)
-    phase_rows = p["gidx"][np.arange(n_sym) % 4]       # [n_sym, K]
-    carriers = jnp.take_along_axis(source, jnp.asarray(phase_rows), axis=1)
+    src4 = source.reshape(n_sym // 4, 4, source.shape[1])
+    carriers = jnp.stack(
+        [src4[:, ph, :][:, p["gidx"][ph]] for ph in range(4)],
+        axis=1).reshape(n_sym, -1)
 
     return carriers, DvbtState(packet_phase=new_phase,
                                outer_carry=new_outer_carry,

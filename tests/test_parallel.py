@@ -1,0 +1,58 @@
+"""Sequence-parallel sharding must be bit-identical to the serial stream.
+
+Runs on the virtual 8-device CPU mesh from conftest.py (the driver's
+dryrun_multichip exercises the same path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dtv_utils_tpu.core.config import (Constellation, CodeRate, DvbtConfig,
+                                       GuardInterval, TransmissionMode)
+from dtv_utils_tpu.parallel.stream import (derive_state, make_mesh,
+                                           sharded_dvbt_modulator)
+from dtv_utils_tpu.tx import dvbt as txd
+
+CFG = DvbtConfig(mode=TransmissionMode.M2K, bandwidth_mhz=6,
+                 constellation=Constellation.QPSK,
+                 code_rate=CodeRate.R1_2, guard=GuardInterval.G1_4)
+
+
+def _ts_blocks(n_blocks, seed=0):
+    rng = np.random.default_rng(seed)
+    blk = CFG.ts_bytes_per_superframe
+    ts = rng.integers(0, 256, size=n_blocks * blk, dtype=np.uint8)
+    ts[::188] = 0x47
+    return ts
+
+
+def test_derive_state_matches_sequential():
+    ts = _ts_blocks(2)
+    blk = CFG.ts_bytes_per_superframe
+    fn = txd.jit_modulator(CFG)
+    _, state_after_0 = fn(jnp.asarray(ts[:blk]), txd.init_state(CFG))
+    derived = derive_state(CFG, jnp.asarray(ts[blk - 12 * 188: blk]),
+                           jnp.int32(1))
+    np.testing.assert_array_equal(np.asarray(derived.outer_carry),
+                                  np.asarray(state_after_0.outer_carry))
+    np.testing.assert_array_equal(np.asarray(derived.conv_state),
+                                  np.asarray(state_after_0.conv_state))
+    assert int(derived.packet_phase) == int(state_after_0.packet_phase)
+
+
+def test_sharded_equals_sequential_8dev():
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest should provide 8 CPU devices"
+    n_blocks = 8
+    ts = _ts_blocks(n_blocks, seed=5)
+    blk = CFG.ts_bytes_per_superframe
+
+    want, _ = txd.modulate_stream(CFG, ts)
+    want = want.reshape(n_blocks, -1)
+
+    mesh = make_mesh()
+    run, in_sharding = sharded_dvbt_modulator(CFG, mesh)
+    ts_dev = jax.device_put(jnp.asarray(ts.reshape(n_blocks, blk)),
+                            in_sharding)
+    got = np.asarray(run(ts_dev))
+    np.testing.assert_array_equal(got, want)
