@@ -69,6 +69,11 @@ def cmd_dvbt_mod(argv: list[str]) -> int:
     return dvbt.cli(argv)
 
 
+def cmd_qam_mod(argv: list[str]) -> int:
+    from dtv_utils_tpu.models import j83b
+    return j83b.cli(argv)
+
+
 COMMANDS = {
     "dvbtrate": cmd_dvbtrate,
     "dvbs2rate": cmd_dvbs2rate,
@@ -76,6 +81,7 @@ COMMANDS = {
     "atsc3rate": cmd_atsc3rate,
     "papr": cmd_papr,
     "dvbt-mod": cmd_dvbt_mod,
+    "qam-mod": cmd_qam_mod,
 }
 
 
