@@ -74,6 +74,11 @@ def cmd_qam_mod(argv: list[str]) -> int:
     return j83b.cli(argv)
 
 
+def cmd_dvbt2_mod(argv: list[str]) -> int:
+    from dtv_utils_tpu.models import dvbt2
+    return dvbt2.cli(argv)
+
+
 COMMANDS = {
     "dvbtrate": cmd_dvbtrate,
     "dvbs2rate": cmd_dvbs2rate,
@@ -82,6 +87,7 @@ COMMANDS = {
     "papr": cmd_papr,
     "dvbt-mod": cmd_dvbt_mod,
     "qam-mod": cmd_qam_mod,
+    "dvbt2-mod": cmd_dvbt2_mod,
 }
 
 

@@ -1,0 +1,64 @@
+"""Pair-complex arithmetic: complex values as float32 [..., 2] arrays.
+
+The TPU backend used here (axon/v5e) implements NO complex dtype — every
+complex64 op, FFT included, is UNIMPLEMENTED.  That is not a loss: TPU
+hardware has no complex ALU either, so the honest TPU-native representation
+is an explicit (re, im) pair in the trailing axis.  Bonus: a contiguous
+float32 [..., 2] array is bit-identical to the gr_complex / .cfile format
+every reference tool reads and writes (interleaved float32 IQ —
+/root/reference/papr.c:100 reads it exactly so), making host I/O a plain
+``tofile``/``fromfile`` with zero conversion.
+
+All functions broadcast like their complex counterparts; dtype is float32.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def pack(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    """Two real arrays → pair array [..., 2]."""
+    return jnp.stack([re, im], axis=-1)
+
+
+def re(x: jnp.ndarray) -> jnp.ndarray:
+    return x[..., 0]
+
+
+def im(x: jnp.ndarray) -> jnp.ndarray:
+    return x[..., 1]
+
+
+def cmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise complex multiply of pair arrays."""
+    ar, ai = a[..., 0], a[..., 1]
+    br, bi = b[..., 0], b[..., 1]
+    return jnp.stack([ar * br - ai * bi, ar * bi + ai * br], axis=-1)
+
+
+def conj(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack([x[..., 0], -x[..., 1]], axis=-1)
+
+
+def abs2(x: jnp.ndarray) -> jnp.ndarray:
+    """|x|^2 (real array, drops the pair axis)."""
+    return x[..., 0] * x[..., 0] + x[..., 1] * x[..., 1]
+
+
+def scale(x: jnp.ndarray, s) -> jnp.ndarray:
+    """Multiply by a real scalar."""
+    return x * jnp.asarray(s, dtype=x.dtype)
+
+
+def from_np(c: np.ndarray) -> np.ndarray:
+    """NumPy complex array → float32 pair array [..., 2]."""
+    c = np.ascontiguousarray(c, dtype=np.complex64)
+    return c.view(np.float32).reshape(*c.shape, 2)
+
+
+def to_np(x: np.ndarray) -> np.ndarray:
+    """Float32 pair array [..., 2] → NumPy complex64 [...]."""
+    x = np.ascontiguousarray(np.asarray(x), dtype=np.float32)
+    return x.view(np.complex64).reshape(x.shape[:-1])

@@ -1,0 +1,61 @@
+"""DVB-T2 transmitter model — the reference dvbt2-blade.py re-expressed.
+
+Argv surface mirrors /root/reference/dvbt2-blade.py:25-35
+(``input_file [output_file]``); chain parameters default to the script's
+hardcoded set (dvbt2-blade.py:37-60).  Extra optional flags expose the same
+parameters the script pins, including the BBC 32K mux profile
+(``--profile bbc``: 32K 256QAM 3/4 GI 19/256 PP7, README:149-151).
+SDR output is out of scope; output_file receives gr_complex IQ.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from dtv_utils_tpu.core.config import (Dvbt2Config, T2CodeRate,
+                                       T2Constellation, T2Guard,
+                                       T2PilotPattern)
+
+PROFILES = {
+    "blade": Dvbt2Config(),
+    # BBC reference mux (README:149-151, `dvbt2rate 8 32 4 59 202 3 4 0 1
+    # 7 3`): 40.2 Mbps — 32K extended, 256QAM, rate 2/3, GI 1/128, PP7,
+    # L1 64QAM, 59 data symbols, 202 FEC blocks.
+    "bbc": Dvbt2Config(fft_size=32768, extended_carriers=True,
+                       code_rate=T2CodeRate.R2_3,
+                       constellation=T2Constellation.QAM256,
+                       guard=T2Guard.G1_128,
+                       pilot_pattern=T2PilotPattern.PP7,
+                       l1_constellation=3,
+                       data_symbols=59, fec_blocks=202, ti_blocks=3),
+}
+
+
+def cli(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(
+        prog="dtv dvbt2-mod",
+        description="Modulate a DVB-T2 signal (TPU) — dvbt2-blade surface")
+    p.add_argument("--profile", default="blade", choices=sorted(PROFILES),
+                   help="parameter profile: blade (default) or bbc")
+    p.add_argument("-n", "--frames", default=None, type=int,
+                   help="number of T2 frames (default: fit file, cycled)")
+    p.add_argument("infile", metavar="input_file")
+    p.add_argument("outfile", metavar="output_file", nargs="?")
+    args = p.parse_args(argv)
+
+    cfg = PROFILES[args.profile]
+    from dtv_utils_tpu.models.dvbt import load_ts_cycled
+    from dtv_utils_tpu.tx import dvbt2 as txt2
+
+    ts = load_ts_cycled(args.infile, cfg.payload_bytes_per_frame,
+                        args.frames)
+    iq, _state = txt2.modulate_stream(cfg, ts)
+    sys.stderr.write(
+        f"dvbt2-mod[{args.profile}]: {ts.size} TS bytes -> {iq.size} IQ "
+        f"samples @ {float(cfg.sample_rate)/1e6:.6f} Msps\n")
+    if args.outfile:
+        iq.astype(np.complex64).tofile(args.outfile)
+    return 0

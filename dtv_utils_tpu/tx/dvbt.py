@@ -19,6 +19,10 @@ shardable (parallel/stream.py).
 Output amplitude matches the reference convention: unnormalized (FFTW-style)
 inverse FFT scaled by 0.0022097087 (dvbt-blade.py:187-189; the script uses
 this constant for every mode/constellation).
+
+IQ is carried as float32 (re, im) pairs [..., 2] (core/cplx.py) — the TPU
+backend has no complex dtype, and the pair layout is bit-identical to the
+gr_complex file format — with the IFFT as batched MXU matmuls (ops/cfft.py).
 """
 
 from __future__ import annotations
@@ -31,7 +35,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from dtv_utils_tpu.core import bits as bitops
+from dtv_utils_tpu.core import cplx
 from dtv_utils_tpu.core.config import DvbtConfig
+from dtv_utils_tpu.ops.cfft import ifft_pairs, ifftshift_pairs
 from dtv_utils_tpu.core.prbs import dvbt_dispersal_mask
 from dtv_utils_tpu.ops.convcode import conv_encode
 from dtv_utils_tpu.ops.interleave import forney_carry_len
@@ -85,8 +91,13 @@ def _plan(cfg: DvbtConfig):
         if yp[i]:
             keep_cols.append(2 * i + 1)
     even_idx, odd_idx = T.symbol_interleaver_gather(cfg.mode)
-    lut = T.constellation_lut(cfg.constellation)
+    lut = np.stack([T.constellation_lut(cfg.constellation).real,
+                    T.constellation_lut(cfg.constellation).imag],
+                   axis=-1).astype(np.float32)
     plan_c = T.carrier_plan(cfg)
+    static_cells = np.stack([plan_c.static_cells.real,
+                             plan_c.static_cells.imag],
+                            axis=-1).astype(np.float32)
     pow2 = (1 << np.arange(v - 1, -1, -1)).astype(np.int32)
     demux_pos = np.argsort(np.asarray(T.DEMUX[v]))
     # NumPy only, and no full-stream index tables: giant gather constants
@@ -101,7 +112,7 @@ def _plan(cfg: DvbtConfig):
         odd_idx=odd_idx.astype(np.int32),
         lut=lut,
         gidx=plan_c.gidx.astype(np.int32),
-        static_cells=plan_c.static_cells,
+        static_cells=static_cells,
         pow2=pow2,
     )
 
@@ -162,15 +173,15 @@ def encode_to_carriers(cfg: DvbtConfig, ts: jax.Array,
          sym_words[:, 1, :][:, p["odd_idx"]]], axis=1).reshape(n_sym, n_data)
 
     # 7. QAM map
-    data_cells = jnp.asarray(p["lut"])[sym_words]      # complex64
+    data_cells = jnp.asarray(p["lut"])[sym_words]      # pairs [.., 2]
 
     # 8. pilots + TPS: per-phase [K] gather from [data || static]
     source = jnp.concatenate(
         [data_cells, jnp.asarray(p["static_cells"])], axis=1)
-    src4 = source.reshape(n_sym // 4, 4, source.shape[1])
+    src4 = source.reshape(n_sym // 4, 4, source.shape[1], 2)
     carriers = jnp.stack(
-        [src4[:, ph, :][:, p["gidx"][ph]] for ph in range(4)],
-        axis=1).reshape(n_sym, -1)
+        [src4[:, ph][:, p["gidx"][ph]] for ph in range(4)],
+        axis=1).reshape(n_sym, -1, 2)
 
     return carriers, DvbtState(packet_phase=new_phase,
                                outer_carry=new_outer_carry,
@@ -178,25 +189,26 @@ def encode_to_carriers(cfg: DvbtConfig, ts: jax.Array,
 
 
 def carriers_to_iq(cfg: DvbtConfig, carriers: jax.Array) -> jax.Array:
-    """Stages 9-10: carrier grid [n_sym, K] → IQ [n_sym * (fft + guard)]."""
+    """Stages 9-10: carrier grid [n_sym, K, 2] → IQ pairs
+    [n_sym * (fft + guard), 2]."""
     fft = cfg.fft_size
     gi = cfg.guard_samples
     K = cfg.mode.carriers
     n_sym = carriers.shape[0]
     # center carriers (zeros_on_left = ceil((fft-K)/2), as gr-dtv lays out)
     left = (fft - K + 1) // 2
-    spec = jnp.zeros((n_sym, fft), dtype=jnp.complex64)
+    spec = jnp.zeros((n_sym, fft, 2), dtype=jnp.float32)
     spec = spec.at[:, left:left + K].set(carriers)
     # unnormalized inverse FFT (FFTW convention of fft.fft_vcc, shift=True)
-    time = jnp.fft.ifft(jnp.fft.ifftshift(spec, axes=-1), axis=-1) * fft
+    time = ifft_pairs(ifftshift_pairs(spec))
     sym_out = jnp.concatenate([time[:, fft - gi:], time], axis=1)
-    return (sym_out * OUTPUT_SCALE).astype(jnp.complex64).reshape(-1)
+    return (sym_out * OUTPUT_SCALE).reshape(-1, 2)
 
 
 def modulate_superframe(cfg: DvbtConfig, ts: jax.Array,
                         state: DvbtState) -> tuple[jax.Array, DvbtState]:
-    """One superframe: ts uint8 [ts_bytes_per_superframe] → IQ complex64
-    [272 * (fft + guard)], plus the next stream state.
+    """One superframe: ts uint8 [ts_bytes_per_superframe] → IQ float32
+    pairs [272 * (fft + guard), 2], plus the next stream state.
 
     jit with cfg static: ``jax.jit(modulate_superframe, static_argnums=0)``.
     """
@@ -212,7 +224,9 @@ def jit_modulator(cfg: DvbtConfig):
 def modulate_stream(cfg: DvbtConfig, ts: np.ndarray,
                     state: DvbtState | None = None,
                     ) -> tuple[np.ndarray, DvbtState]:
-    """Host convenience: modulate any whole number of superframes."""
+    """Host convenience: modulate any whole number of superframes.
+
+    Returns complex64 (host view of the device pair arrays)."""
     blk = cfg.ts_bytes_per_superframe
     assert len(ts) % blk == 0, f"need multiple of {blk} TS bytes"
     if state is None:
@@ -221,5 +235,5 @@ def modulate_stream(cfg: DvbtConfig, ts: np.ndarray,
     out = []
     for i in range(len(ts) // blk):
         iq, state = fn(jnp.asarray(ts[i * blk:(i + 1) * blk]), state)
-        out.append(np.asarray(iq))
+        out.append(cplx.to_np(iq))
     return np.concatenate(out) if out else np.empty(0, np.complex64), state

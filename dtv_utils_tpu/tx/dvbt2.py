@@ -1,0 +1,470 @@
+"""DVB-T2 modulator (EN 302 755), TPU-native.
+
+Re-expresses the reference chain — the 14-block GNU Radio flowgraph at
+/root/reference/dvbt2-blade.py:119-156 (BB header → BB scrambler → BCH →
+LDPC → bit interleaver → constellation/rotation → cell interleaver → frame
+mapper → freq interleaver → pilots → PAPR TR → cyclic prefix → P1) — as one
+jit array program over an *interleaving frame* (= one T2 frame here):
+
+  * mode adaptation (sync-byte CRC-8 replacement, BB headers with running
+    SYNCD) is a phase-parameterized gather + two GF(2) bit-matmuls — no
+    per-packet loop, the packet phase lives in a tiny stream-state pytree;
+  * BB scrambling is one XOR with a precomputed PRBS;
+  * BCH parity is an MXU bit-matmul [blocks, kbch] x [kbch, 160|192];
+  * LDPC (IRA) encoding is a gather + scatter-XOR over the accumulator
+    edges followed by a prefix-XOR (cumsum mod 2) — the two sequential
+    structures of the standard become two parallel primitives;
+  * every interleaver (parity/column-twist/demux/cell/time) is a static
+    gather precomputed in dvbt2_tables.py.
+
+IQ is float32 (re, im) pairs [..., 2] (core/cplx.py).  Table exactness
+status is tracked in PARITY.md (LDPC annex tables are stand-ins).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dtv_utils_tpu.core import bits as bitops
+from dtv_utils_tpu.core.config import Dvbt2Config, T2Constellation
+from dtv_utils_tpu.core.galois import gf2_matmul, gf2_poly_mod_matrix
+from dtv_utils_tpu.core.prbs import bb_scrambler_bits
+from dtv_utils_tpu.tx import dvbt2_tables as T
+
+# DVB CRC-8 (EN 302 755 §5.1.4): x^8+x^7+x^6+x^4+x^2+1
+_CRC8_POLY = np.array([1, 0, 1, 0, 1, 0, 1, 1, 1], dtype=np.uint8)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class Dvbt2State:
+    """Stream state between consecutive interleaving frames."""
+    packet_phase: jax.Array   # int32: bytes into the current 188-byte packet
+    prev_tail: jax.Array      # uint8 [187]: previous raw bytes (CRC window)
+
+
+def init_state(cfg: Dvbt2Config) -> Dvbt2State:
+    del cfg
+    return Dvbt2State(packet_phase=jnp.zeros((), jnp.int32),
+                      prev_tail=jnp.zeros(187, jnp.uint8))
+
+
+@functools.cache
+def _plan(cfg: Dvbt2Config):
+    kbch = cfg.kbch
+    dfl_bytes = (kbch - 80) // 8
+    n_bytes = dfl_bytes * cfg.fec_blocks
+    bch_m = T.bch_parity_matrix(cfg.frame_size, cfg.bch_t, kbch
+                                ).astype(np.int8)
+    crc8_m = gf2_poly_mod_matrix(_CRC8_POLY, 187 * 8).astype(np.int8)
+    hdr_crc_m = gf2_poly_mod_matrix(_CRC8_POLY, 72).astype(np.int8)
+    scramble = bb_scrambler_bits(kbch)
+    src, dst = T.ldpc_edge_arrays(
+        (cfg.code_rate.value, cfg.nldpc, cfg.nbch, cfg.ldpc_q))
+    bit_perm = T.bit_interleaver_perm(cfg)
+    dperm = T.demux_perm(cfg)
+    v = cfg.constellation.bits_per_symbol
+    lut = T.constellation_pairs(cfg.constellation, cfg.rotation)
+    ncells = cfg.cells_per_fec_block
+    ci_base = T.cell_interleaver_perm(ncells)
+    ci_shift = T.cell_interleaver_shifts(cfg.fec_blocks, ncells)
+    # scatter semantics out[L_r(q)] = in[q]  ->  gather index inverse
+    ci_gather = np.empty((cfg.fec_blocks, ncells), dtype=np.int32)
+    qidx = np.arange(ncells)
+    for r in range(cfg.fec_blocks):
+        lr = (ci_base + ci_shift[r]) % ncells
+        ci_gather[r, lr] = qidx
+    # time interleaver: TI block sizes (§6.5; uneven split like gr-dtv)
+    nti = max(cfg.ti_blocks, 1)
+    base, extra = divmod(cfg.fec_blocks, nti)
+    ti_sizes = [base + (1 if i < extra else 0) for i in range(nti)]
+    pow2 = (1 << np.arange(v - 1, -1, -1)).astype(np.int32)
+    return dict(n_bytes=n_bytes, dfl_bytes=dfl_bytes, bch_m=bch_m,
+                crc8_m=crc8_m, hdr_crc_m=hdr_crc_m,
+                scramble=scramble, ldpc_src=src, ldpc_dst=dst,
+                bit_perm=bit_perm, dperm=dperm, lut=lut,
+                ci_gather=ci_gather, ti_sizes=tuple(ti_sizes), pow2=pow2)
+
+
+def _crc8_rows(p, rows_bytes: jax.Array) -> jax.Array:
+    """uint8 [..., 187] -> CRC-8 byte [...] via GF(2) matmul."""
+    bits = bitops.bytes_to_bits(rows_bytes)
+    crc_bits = gf2_matmul(bits, jnp.asarray(p["crc8_m"]))
+    return bitops.bits_to_bytes(crc_bits)[..., 0]
+
+
+def mode_adapt(cfg: Dvbt2Config, ts: jax.Array, state: Dvbt2State
+               ) -> tuple[jax.Array, Dvbt2State]:
+    """TS bytes [n_bytes] -> BBFRAMEs [fec_blocks, kbch] bits (unscrambled).
+
+    Implements EN 302 755 §5.1 mode adaptation for TS, normal mode: the
+    0x47 sync byte of each packet is replaced by the CRC-8 of the previous
+    packet's 187 payload bytes; BB headers carry DFL/SYNCD bookkeeping.
+    """
+    p = _plan(cfg)
+    n = p["n_bytes"]
+    phase = state.packet_phase           # bytes into current packet
+    ext = jnp.concatenate([state.prev_tail, ts])          # [187 + n]
+
+    # sync positions: i_k = (188 - phase) % 188 + 188 k, masked to < n
+    first = (188 - phase) % 188
+    n_sync = n // 188 + 1
+    sync_pos = first + 188 * jnp.arange(n_sync, dtype=jnp.int32)
+    valid = sync_pos < n
+    safe_pos = jnp.where(valid, sync_pos, 0)
+    # CRC over the 187 bytes before each sync position (in ext coords the
+    # window is [pos, pos+187) since ext is shifted by 187)
+    win = ext[safe_pos[:, None] + jnp.arange(187)[None, :]]
+    crcs = _crc8_rows(p, win)
+    # stream start: the very first packet of the whole stream has no
+    # predecessor; its sync is replaced by CRC over zeros (prev_tail init)
+    adapted = ts.at[safe_pos].set(
+        jnp.where(valid, crcs, ts[safe_pos]).astype(jnp.uint8))
+
+    data_bits = bitops.bytes_to_bits(adapted).reshape(cfg.fec_blocks, -1)
+
+    # BB headers
+    dfl = (cfg.kbch - 80)
+    b = jnp.arange(cfg.fec_blocks, dtype=jnp.int32)
+    phase_b = (phase + b * p["dfl_bytes"]) % 188
+    syncd = ((188 - phase_b) % 188) * 8
+    hdr_bytes = jnp.stack([
+        jnp.full_like(b, 0xF0),               # MATYPE-1: TS, SIS, CCM
+        jnp.zeros_like(b),                    # MATYPE-2
+        jnp.full_like(b, 1504 >> 8), jnp.full_like(b, 1504 & 0xFF),  # UPL
+        jnp.full_like(b, dfl >> 8), jnp.full_like(b, dfl & 0xFF),    # DFL
+        jnp.full_like(b, 0x47),               # SYNC
+        syncd >> 8, syncd & 0xFF,             # SYNCD
+    ], axis=1).astype(jnp.uint8)
+    hdr_bits = bitops.bytes_to_bits(hdr_bytes)            # [blocks, 72]
+    crc_bits = gf2_matmul(hdr_bits, jnp.asarray(p["hdr_crc_m"]))
+    header = jnp.concatenate([hdr_bits, crc_bits], axis=1)  # [blocks, 80]
+
+    frames = jnp.concatenate([header, data_bits], axis=1)   # [blocks, kbch]
+    new_state = Dvbt2State(packet_phase=(phase + n) % 188,
+                           prev_tail=ts[-187:])
+    return frames, new_state
+
+
+def fec_encode(cfg: Dvbt2Config, bbframes: jax.Array) -> jax.Array:
+    """BBFRAMEs [blocks, kbch] -> FECFRAMEs [blocks, nldpc] bits:
+    scramble + BCH (matmul) + LDPC (scatter-XOR + prefix-XOR)."""
+    p = _plan(cfg)
+    scrambled = bbframes ^ jnp.asarray(p["scramble"])[None, :]
+    bch_par = gf2_matmul(scrambled, jnp.asarray(p["bch_m"]))
+    info = jnp.concatenate([scrambled, bch_par], axis=1)   # [blocks, nbch]
+
+    n_parity = cfg.nldpc - cfg.nbch
+    src = jnp.asarray(p["ldpc_src"])
+    dst = jnp.asarray(p["ldpc_dst"])
+
+    def one(bits):
+        contrib = bits[src].astype(jnp.int32)
+        pre = jnp.zeros(n_parity, jnp.int32).at[dst].add(contrib)
+        return (jnp.cumsum(pre) & 1).astype(jnp.uint8)
+
+    parity = jax.vmap(one)(info)
+    return jnp.concatenate([info, parity], axis=1)
+
+
+def interleave_and_map(cfg: Dvbt2Config, fecframes: jax.Array) -> jax.Array:
+    """FECFRAMEs [blocks, nldpc] -> cells [blocks, ncells, 2] pairs:
+    bit interleaver + demux + map + rotation Q-delay."""
+    p = _plan(cfg)
+    v = cfg.constellation.bits_per_symbol
+    x = fecframes
+    if p["bit_perm"] is not None:
+        x = x[:, jnp.asarray(p["bit_perm"])]
+    nsub = len(p["dperm"])
+    groups = x.reshape(x.shape[0], -1, nsub)
+    y = groups[:, :, jnp.asarray(p["dperm"])]
+    words = jnp.sum(y.reshape(x.shape[0], -1, v).astype(jnp.int32)
+                    * jnp.asarray(p["pow2"]), axis=-1)
+    cells = jnp.asarray(p["lut"])[words]                   # [blocks, nc, 2]
+    if cfg.rotation:
+        # cyclic Q delay of one cell within the FEC block (§6.3.3)
+        q = jnp.roll(cells[..., 1], 1, axis=1)
+        cells = jnp.stack([cells[..., 0], q], axis=-1)
+    return cells
+
+
+def cell_time_interleave(cfg: Dvbt2Config, cells: jax.Array) -> jax.Array:
+    """[blocks, ncells, 2] -> interleaving-frame payload [blocks*ncells, 2]:
+    per-block cell interleaver, then row-column time interleaver per TI
+    block (§6.4-6.5)."""
+    p = _plan(cfg)
+    ci = cells[jnp.arange(cells.shape[0])[:, None], jnp.asarray(p["ci_gather"])]
+    out = []
+    start = 0
+    ncells = cfg.cells_per_fec_block
+    assert ncells % 5 == 0
+    nr = ncells // 5
+    for size in p["ti_sizes"]:
+        blk = ci[start:start + size]                   # [size, ncells, 2]
+        nc = size * 5
+        # write column-wise [nc, nr], read row-wise -> transpose
+        mem = blk.reshape(nc, nr, 2)
+        out.append(jnp.swapaxes(mem, 0, 1).reshape(size * ncells, 2))
+        start += size
+    return jnp.concatenate(out, axis=0)
+
+
+def payload_cells(cfg: Dvbt2Config, ts: jax.Array, state: Dvbt2State
+                  ) -> tuple[jax.Array, Dvbt2State]:
+    """TS bytes -> time-interleaved PLP payload cells for one frame."""
+    bb, state = mode_adapt(cfg, ts, state)
+    fec = fec_encode(cfg, bb)
+    cells = interleave_and_map(cfg, fec)
+    return cell_time_interleave(cfg, cells), state
+
+
+# ---------------------------------------------------------------------------
+# L1 signalling encoding (§7.3): shortened BCH + punctured short LDPC
+# ---------------------------------------------------------------------------
+
+@functools.cache
+def _l1_plan(cfg: Dvbt2Config):
+    """Host-side: fully encoded L1-pre cells (static per config) and the
+    L1-post encoder tables (dynamic fields re-encoded per frame)."""
+    from dtv_utils_tpu.core.config import T2FrameSize
+    from dtv_utils_tpu.core.galois import GF2_14_DVB, bch_generator_poly
+
+    n_post, n_punc, eta = T.l1_sizes(cfg.l1_constellation, cfg.n_p2)
+
+    def encode_short(info_bits: np.ndarray, kbch: int, nbch: int,
+                     keep_parity: int) -> np.ndarray:
+        """Shortened BCH(t=12, GF(2^14)) + stand-in LDPC + puncture."""
+        ksig = len(info_bits)
+        padded = np.concatenate(
+            [info_bits, np.zeros(kbch - ksig, np.uint8)])
+        m = T.bch_parity_matrix(T2FrameSize.SHORT, 12, kbch)
+        bch_par = (padded @ m) & 1
+        ldpc_info = np.concatenate([padded, bch_par.astype(np.uint8)])
+        q = (16200 - nbch) // 360
+        rows = T.ldpc_accumulator_rows(0 if nbch == T.L1PRE_NBCH else 1,
+                                       16200, nbch)
+        npar = 16200 - nbch
+        p = np.zeros(npar, dtype=np.uint8)
+        for g, addrs in enumerate(rows):
+            mm = np.arange(360)
+            bits = ldpc_info[g * 360 + mm]
+            for a in addrs:
+                np.bitwise_xor.at(p, (a + mm * q) % npar, bits)
+        p = np.bitwise_xor.accumulate(p)
+        # shortening: transmit info (no pad) + BCH parity + kept LDPC parity
+        return np.concatenate([info_bits, bch_par.astype(np.uint8),
+                               p[:keep_parity]])
+
+    pre_info = T.l1_pre_bits(cfg)
+    pre_tx = encode_short(pre_info, T.L1PRE_KBCH, T.L1PRE_NBCH,
+                          T.L1PRE_CELLS - T.L1PRE_KSIG - 168)
+    assert len(pre_tx) == T.L1PRE_CELLS
+    # BPSK cells (pairs)
+    pre_cells = np.stack([1.0 - 2.0 * pre_tx.astype(np.float32),
+                          np.zeros(len(pre_tx), np.float32)], -1)
+
+    post_info = T.l1_post_bits(cfg)
+    keep = 9000 - n_punc
+    post_tx = encode_short(post_info, T.L1POST_KBCH, T.L1POST_NBCH, keep)
+    assert len(post_tx) == n_post, (len(post_tx), n_post)
+    # demux + map like the data path at the L1 constellation
+    lut_map = {0: None, 1: T2Constellation.QPSK, 2: T2Constellation.QAM16,
+               3: T2Constellation.QAM64}
+    if cfg.l1_constellation == 0:
+        post_cells = np.stack([1.0 - 2.0 * post_tx.astype(np.float32),
+                               np.zeros(len(post_tx), np.float32)], -1)
+    else:
+        c = lut_map[cfg.l1_constellation]
+        v = c.bits_per_symbol
+        lut = T.constellation_pairs(c, rotation=False)
+        words = post_tx.reshape(-1, v) @ (1 << np.arange(v - 1, -1, -1))
+        post_cells = lut[words]
+    return dict(pre_cells=pre_cells.astype(np.float32),
+                post_cells=post_cells.astype(np.float32),
+                n_post=n_post, eta=eta)
+
+
+# ---------------------------------------------------------------------------
+# Frame building (§8.3): cells -> per-symbol carrier grid
+# ---------------------------------------------------------------------------
+
+@functools.cache
+def _frame_arrays(cfg: Dvbt2Config):
+    """Host-side scatter/gather arrays for frame assembly."""
+    fp = T.frame_plan(cfg)
+    l1 = _l1_plan(cfg)
+    K = cfg.carriers
+    lf = cfg.frame_symbols
+    cnts = fp["data_cnt"]
+    total = int(cnts.sum())
+    n_l1 = len(l1["pre_cells"]) + len(l1["post_cells"])
+    n_payload = cfg.fec_blocks * cfg.cells_per_fec_block
+    n_dummy = total - n_l1 - n_payload
+    assert n_dummy >= 0, (total, n_l1, n_payload)
+    # dummy cells: BB-PRBS bits BPSK-mapped (§8.3.6.3 behaviour)
+    dummy_bits = bb_scrambler_bits(max(n_dummy, 1))[:n_dummy]
+    dummy = np.stack([1.0 - 2.0 * dummy_bits.astype(np.float32),
+                      np.zeros(n_dummy, np.float32)], -1)
+    # frequency interleaver: per-symbol gather over its data cells
+    h_even, h_odd = T.freq_interleaver_perms(cfg)
+    fi_rows = np.zeros((lf, cnts.max()), dtype=np.int32)
+    for l in range(lf):
+        c = cnts[l]
+        h = h_even if l % 2 == 0 else h_odd
+        hp = h[h < c]                     # truncated permutation over [0, c)
+        fi_rows[l, :c] = hp
+    # scatter: flat positions (l * K + carrier) in symbol-major cell order,
+    # plus the (l, j) gather that linearizes the padded per-symbol rows
+    flat_idx, val_l, val_j = [], [], []
+    for l in range(lf):
+        flat_idx.append(l * K + fp["data_idx"][l, :cnts[l]].astype(np.int64))
+        val_l.append(np.full(cnts[l], l, dtype=np.int32))
+        val_j.append(np.arange(cnts[l], dtype=np.int32))
+    flat_idx = np.concatenate(flat_idx).astype(np.int32)
+    val_l = np.concatenate(val_l)
+    val_j = np.concatenate(val_j)
+    # static pilot grid
+    grid = np.zeros((lf, K, 2), dtype=np.float32)
+    sign = fp["pilot_sign"]
+    for l in range(lf):
+        idx = fp["sp_idx"][l][fp["sp_valid"][l]]
+        grid[l, idx, 0] = fp["amp"][l] * sign[idx]
+    # continual pilots on data symbols
+    n_p2 = cfg.n_p2
+    cp = fp["cp_set"]
+    for l in range(n_p2, lf):
+        grid[l, cp, 0] = T.CP_AMPLITUDE[cfg.fft_size] * sign[cp]
+    return dict(dummy=dummy, fi_rows=fi_rows, flat_idx=flat_idx,
+                val_l=val_l, val_j=val_j,
+                pilot_grid=grid, cnts=cnts, total=total, lf=lf, K=K)
+
+
+def build_frame_grid(cfg: Dvbt2Config, payload: jax.Array) -> jax.Array:
+    """PLP payload cells [n_payload, 2] -> carrier grid [L_F, K, 2] with
+    L1, dummy cells, frequency interleaving and pilots."""
+    fa = _frame_arrays(cfg)
+    l1 = _l1_plan(cfg)
+    stream = jnp.concatenate([
+        jnp.asarray(l1["pre_cells"]), jnp.asarray(l1["post_cells"]),
+        payload, jnp.asarray(fa["dummy"])], axis=0)
+    lf, K = fa["lf"], fa["K"]
+    cmax = fa["fi_rows"].shape[1]
+    cnts = jnp.asarray(fa["cnts"])
+    # split into per-symbol rows (padded to cmax; starts are host constants)
+    starts = np.concatenate([[0], np.cumsum(fa["cnts"])[:-1]])
+    padded = jnp.concatenate([stream, jnp.zeros((cmax, 2), stream.dtype)])
+    rows = jnp.stack([padded[int(s):int(s) + cmax] for s in starts])
+    # frequency interleave within each symbol: out[h[j]] = in[j]
+    fi = jnp.asarray(fa["fi_rows"])                # [lf, cmax]
+    sym = jnp.zeros_like(rows)
+    li = jnp.arange(lf)[:, None]
+    sym = sym.at[li, fi].set(rows)                 # scatter per symbol
+    # data scatter into the carrier grid + static pilot overlay
+    del cnts
+    flat_vals = sym[jnp.asarray(fa["val_l"]),
+                    jnp.asarray(fa["val_j"])]      # [total, 2] in cell order
+    grid = jnp.asarray(fa["pilot_grid"]).reshape(lf * K, 2)
+    grid = grid.at[jnp.asarray(fa["flat_idx"])].set(flat_vals)
+    return grid.reshape(lf, K, 2)
+
+
+# ---------------------------------------------------------------------------
+# OFDM back end: IFFT + guard interval + P1 preamble (§9.8, §10)
+# ---------------------------------------------------------------------------
+
+OUTPUT_SCALE = 0.2          # dvbt2-blade.py:132 final multiply_const
+
+
+@functools.cache
+def _p1_samples(cfg: Dvbt2Config) -> np.ndarray:
+    """The 2048-sample P1 preamble, host-precomputed (it is constant).
+
+    Structure per EN 302 755 §9.8: 1K OFDM symbol with 384 active carriers
+    carrying a DBPSK-modulated signalling pattern (S1 = T2_SISO, S2 = FFT
+    size), with C-A-B guard structure: C = first 542 samples frequency-
+    shifted by +f_SH, then A (1024), then B = last 482 samples shifted.
+    The 384-carrier CDS and the S1/S2 CSS sequences are annex tables:
+    stand-in deterministic sets, PARITY-RISK."""
+    rng = np.random.default_rng(0x0B1)
+    # stand-in carrier distribution: 384 of the central 853 carriers of 1K
+    cds = np.sort(rng.choice(np.arange(86, 86 + 683), size=384,
+                             replace=False))
+    # stand-in MSS: S1 pattern (8 bits repeated) + S2 (fft code) + padding
+    s2 = {1024: 0, 2048: 1, 4096: 2, 8192: 3, 16384: 4, 32768: 5}[
+        cfg.fft_size]
+    info = np.zeros(384, dtype=np.uint8)
+    info[:64] = np.tile(np.asarray([0, 0, 0, 1, 1, 0, 1, 1]), 8)  # S1 css
+    info[64:320] = rng.integers(0, 2, 256)                         # body
+    info[320:] = np.tile((s2 >> np.arange(3, -1, -1)) & 1, 16)     # S2 css
+    # DBPSK across active carriers
+    diff = np.cumsum(info) % 2
+    sym = 1.0 - 2.0 * diff
+    spec = np.zeros(1024, dtype=np.complex128)
+    spec[cds] = sym
+    a = np.fft.ifft(np.fft.ifftshift(spec)) * 1024
+    n = np.arange(1024)
+    shift = np.exp(2j * np.pi * n / 1024)          # f_SH = one carrier
+    c = (a * shift)[:542]
+    b = (a * shift)[542:]
+    p1 = np.concatenate([c, a, b])
+    assert len(p1) == 2048
+    return np.stack([p1.real, p1.imag], -1).astype(np.float32)
+
+
+def grid_to_iq(cfg: Dvbt2Config, grid: jax.Array) -> jax.Array:
+    """Carrier grid [L_F, K, 2] -> one T2 frame of IQ pairs
+    [2048 + L_F*(fft+gi), 2]: centered IFFT, cyclic prefix, P1 prepend."""
+    from dtv_utils_tpu.ops.cfft import ifft_pairs, ifftshift_pairs
+    fft = cfg.fft_size
+    gi = cfg.guard_samples
+    K = cfg.carriers
+    lf = grid.shape[0]
+    left = (fft - K + 1) // 2
+    spec = jnp.zeros((lf, fft, 2), dtype=jnp.float32)
+    spec = spec.at[:, left:left + K].set(grid)
+    time = ifft_pairs(ifftshift_pairs(spec))       # unnormalized reverse
+    sym = jnp.concatenate([time[:, fft - gi:], time], axis=1)
+    body = sym.reshape(-1, 2) * (OUTPUT_SCALE / np.sqrt(fft))
+    p1 = jnp.asarray(_p1_samples(cfg)) * OUTPUT_SCALE
+    return jnp.concatenate([p1, body], axis=0)
+
+
+def modulate_frame(cfg: Dvbt2Config, ts: jax.Array, state: Dvbt2State
+                   ) -> tuple[jax.Array, Dvbt2State]:
+    """One T2 frame: TS bytes [payload_bytes_per_frame] -> IQ pairs.
+
+    jit with cfg static: jax.jit(modulate_frame, static_argnums=0).
+    """
+    cells, state = payload_cells(cfg, ts, state)
+    grid = build_frame_grid(cfg, cells)
+    return grid_to_iq(cfg, grid), state
+
+
+@functools.cache
+def jit_modulator(cfg: Dvbt2Config):
+    return jax.jit(functools.partial(modulate_frame, cfg))
+
+
+def modulate_stream(cfg: Dvbt2Config, ts: np.ndarray,
+                    state: Dvbt2State | None = None):
+    """Host convenience: modulate whole T2 frames; returns complex64."""
+    from dtv_utils_tpu.core import cplx
+    blk = cfg.payload_bytes_per_frame
+    assert len(ts) % blk == 0, f"need multiple of {blk} TS bytes"
+    if state is None:
+        state = init_state(cfg)
+    fn = jit_modulator(cfg)
+    out = []
+    for i in range(len(ts) // blk):
+        iq, state = fn(jnp.asarray(ts[i * blk:(i + 1) * blk]), state)
+        out.append(cplx.to_np(iq))
+    return (np.concatenate(out) if out else np.empty(0, np.complex64)), state
+
+
+def samples_per_frame(cfg: Dvbt2Config) -> int:
+    return 2048 + cfg.frame_symbols * (cfg.fft_size + cfg.guard_samples)

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dtv_utils_tpu.core import bits as bitops
+from dtv_utils_tpu.core import cplx
 from dtv_utils_tpu.core.config import J83bConfig
 from dtv_utils_tpu.core.galois import GF128
 from dtv_utils_tpu.ops.rs import RsBitEncoder
@@ -80,6 +81,11 @@ CONSTELLATION_64 = np.array([
     5+5j, 5-5j, 5-7j, -7-5j, -7+5j, 5+7j, -7-7j, -7+7j,
     -5+5j, -5-5j, 7+5j, -5+7j, -5-7j, 7-5j, 7-7j, 7+7j,
 ], dtype=np.complex64)
+
+# pair-form LUT for the device path (float32 [64, 2]; core/cplx.py)
+CONSTELLATION_64_PAIRS = np.stack(
+    [CONSTELLATION_64.real, CONSTELLATION_64.imag], axis=-1
+).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -154,7 +160,7 @@ class J83bState:
     conv_a: jax.Array       # uint8 [4] encoder A memory (most recent first)
     conv_b: jax.Array       # uint8 [4] encoder B memory
     diff_state: jax.Array   # uint8 [2] differential precoder (W, Z)
-    rrc_tail: jax.Array     # complex64 [49] filter history
+    rrc_tail: jax.Array     # float32 [49, 2] filter history (IQ pairs)
 
 
 def init_state(cfg: J83bConfig | None = None) -> J83bState:
@@ -163,7 +169,7 @@ def init_state(cfg: J83bConfig | None = None) -> J83bState:
         conv_a=jnp.zeros(4, jnp.uint8),
         conv_b=jnp.zeros(4, jnp.uint8),
         diff_state=jnp.zeros(2, jnp.uint8),
-        rrc_tail=jnp.zeros(49, jnp.complex64),
+        rrc_tail=jnp.zeros((49, 2), jnp.float32),
     )
 
 
@@ -302,13 +308,14 @@ def rrc_taps(cfg: J83bConfig) -> np.ndarray:
 
 def rrc_interpolate(cells: jax.Array, tail: jax.Array,
                     taps: np.ndarray) -> tuple[jax.Array, jax.Array]:
-    """Interpolate-by-2 polyphase RRC: [n] complex64 → [2n], with history."""
-    ext = jnp.concatenate([tail, cells])             # [49 + n]
-    n = cells.shape[0]
-    # output[2m + p] = Σ_k h[2k + p] · x[m + 49 - k]: one real conv per
-    # phase over (re, im) as a batch of 2 — complex conv is not a TPU
-    # primitive, float32 convs are.
-    x = jnp.stack([ext.real, ext.imag])[:, None, :]  # [2, 1, 49+n]
+    """Interpolate-by-2 polyphase RRC: IQ pairs [n, 2] → [2n, 2] + history.
+
+    output[2m + p] = Σ_k h[2k + p] · x[m + 49 − k]: one real conv per
+    phase over (re, im) as a batch of 2 — the pair layout makes complex
+    convolution two float32 convolutions, the native TPU formulation.
+    """
+    ext = jnp.concatenate([tail, cells])             # [49 + n, 2]
+    x = ext.T[:, None, :]                            # [2, 1, 49+n]
     outs = []
     for p in range(2):
         # lax.conv_general_dilated is cross-correlation: y[m] = Σ_j x[m+j]k[j];
@@ -319,9 +326,8 @@ def rrc_interpolate(cells: jax.Array, tail: jax.Array,
             x, k, window_strides=(1,), padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"))  # [2, 1, n]
         outs.append(y[:, 0, :])
-    out = jnp.stack(outs, axis=-1).reshape(2, -1)    # [2, 2n]
-    out_c = (out[0] + 1j * out[1]).astype(jnp.complex64)
-    return out_c, ext[-49:]
+    out = jnp.stack(outs, axis=-1).reshape(2, -1)    # [2, 2n] interleaved
+    return out.T, ext[-49:]
 
 
 # ---------------------------------------------------------------------------
@@ -330,8 +336,8 @@ def rrc_interpolate(cells: jax.Array, tail: jax.Array,
 
 def encode_to_cells(cfg: J83bConfig, ts: jax.Array,
                     state: J83bState) -> tuple[jax.Array, J83bState]:
-    """Stages framing … 64-QAM map: ts uint8 [6405*188] → complex64 cells
-    [1,806,210] + next state (rrc_tail unchanged here)."""
+    """Stages framing … 64-QAM map: ts uint8 [6405*188] → IQ pair cells
+    [1,806,210, 2] + next state (rrc_tail unchanged here)."""
     del cfg
     n_pkt = PACKETS_PER_SUPERBLOCK
     framed = transport_framing(ts.reshape(n_pkt, 188)).reshape(-1)
@@ -360,7 +366,7 @@ def encode_to_cells(cfg: J83bConfig, ts: jax.Array,
     # trellis-coded modulation → 6-bit words → constellation
     words, conv_a, conv_b, diff = trellis_encode(
         frame_bits, state.conv_a, state.conv_b, state.diff_state)
-    cells = jnp.asarray(CONSTELLATION_64)[words]
+    cells = jnp.asarray(CONSTELLATION_64_PAIRS)[words]
     return cells, J83bState(ilv_carry=ilv_carry, conv_a=conv_a,
                             conv_b=conv_b, diff_state=diff,
                             rrc_tail=state.rrc_tail)
@@ -368,7 +374,7 @@ def encode_to_cells(cfg: J83bConfig, ts: jax.Array,
 
 def modulate_superblock(cfg: J83bConfig, ts: jax.Array,
                         state: J83bState) -> tuple[jax.Array, J83bState]:
-    """188 FEC frames: ts uint8 [6405*188] → IQ complex64 [3,612,420]."""
+    """188 FEC frames: ts uint8 [6405*188] → IQ pairs [3,612,420, 2]."""
     cells, state = encode_to_cells(cfg, ts, state)
     iq, rrc_tail = rrc_interpolate(cells, state.rrc_tail, rrc_taps(cfg))
     return iq, J83bState(ilv_carry=state.ilv_carry, conv_a=state.conv_a,
@@ -391,5 +397,5 @@ def modulate_stream(cfg: J83bConfig, ts: np.ndarray,
     out = []
     for i in range(len(ts) // blk):
         iq, state = fn(jnp.asarray(ts[i * blk:(i + 1) * blk]), state)
-        out.append(np.asarray(iq))
+        out.append(cplx.to_np(iq))
     return (np.concatenate(out) if out else np.empty(0, np.complex64)), state

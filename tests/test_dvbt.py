@@ -11,6 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from dtv_utils_tpu.core import cplx
 from dtv_utils_tpu.core.config import (Constellation, CodeRate, DvbtConfig,
                                        GuardInterval, TransmissionMode)
 from dtv_utils_tpu.ops.rs import DVBT_RS
@@ -97,7 +98,7 @@ def test_chain_matches_serial_reference_two_superframes():
     for i in range(2):
         want = serial.encode_to_carriers(ts[i * blk:(i + 1) * blk])
         got, state = enc(cfg, jnp.asarray(ts[i * blk:(i + 1) * blk]), state)
-        np.testing.assert_array_equal(np.asarray(got), want,
+        np.testing.assert_array_equal(cplx.to_np(got), want,
                                       err_msg=f"superframe {i}")
 
 

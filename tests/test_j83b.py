@@ -9,6 +9,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+from dtv_utils_tpu.core import cplx
 from dtv_utils_tpu.core.config import J83bConfig
 from dtv_utils_tpu.tx import j83b as J
 from j83b_serial_ref import SerialJ83b
@@ -48,7 +49,7 @@ def test_cells_vs_serial_oracle():
     cfg = J83bConfig()
     state = J.init_state(cfg)
     got, _ = J.encode_to_cells(cfg, jnp.asarray(ts), state)
-    got = np.asarray(got)
+    got = cplx.to_np(got)
     assert got.shape == want.shape
     np.testing.assert_array_equal(got, want)
 
@@ -97,10 +98,12 @@ def test_rrc_interpolator_vs_serial():
     want2 = oracle.rrc(cells[300:], taps)
 
     st = J.init_state(cfg)
-    got1, tail = J.rrc_interpolate(jnp.asarray(cells[:300]), st.rrc_tail, taps)
-    got2, _ = J.rrc_interpolate(jnp.asarray(cells[300:]), tail, taps)
-    np.testing.assert_allclose(np.asarray(got1), want1, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(got2), want2, atol=1e-5)
+    got1, tail = J.rrc_interpolate(
+        jnp.asarray(cplx.from_np(cells[:300])), st.rrc_tail, taps)
+    got2, _ = J.rrc_interpolate(
+        jnp.asarray(cplx.from_np(cells[300:])), tail, taps)
+    np.testing.assert_allclose(cplx.to_np(got1), want1, atol=1e-5)
+    np.testing.assert_allclose(cplx.to_np(got2), want2, atol=1e-5)
 
 
 def test_modulate_stream_shapes():

@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dtv_utils_tpu.core import cplx
 from dtv_utils_tpu.core.config import (Constellation, CodeRate, DvbtConfig,
                                        GuardInterval, TransmissionMode)
 from dtv_utils_tpu.parallel.stream import (derive_state, make_mesh,
@@ -54,5 +55,5 @@ def test_sharded_equals_sequential_8dev():
     run, in_sharding = sharded_dvbt_modulator(CFG, mesh)
     ts_dev = jax.device_put(jnp.asarray(ts.reshape(n_blocks, blk)),
                             in_sharding)
-    got = np.asarray(run(ts_dev))
+    got = cplx.to_np(np.asarray(run(ts_dev)))
     np.testing.assert_array_equal(got, want)
