@@ -79,6 +79,11 @@ def cmd_dvbt2_mod(argv: list[str]) -> int:
     return dvbt2.cli(argv)
 
 
+def cmd_flags264(argv: list[str]) -> int:
+    from dtv_utils_tpu.analysis import native
+    return native.cli("flags264", argv)
+
+
 COMMANDS = {
     "dvbtrate": cmd_dvbtrate,
     "dvbs2rate": cmd_dvbs2rate,
@@ -88,6 +93,7 @@ COMMANDS = {
     "dvbt-mod": cmd_dvbt_mod,
     "qam-mod": cmd_qam_mod,
     "dvbt2-mod": cmd_dvbt2_mod,
+    "flags264": cmd_flags264,
 }
 
 
