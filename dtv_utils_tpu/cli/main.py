@@ -84,6 +84,11 @@ def cmd_flags264(argv: list[str]) -> int:
     return native.cli("flags264", argv)
 
 
+def cmd_h264_parse(argv: list[str]) -> int:
+    from dtv_utils_tpu.analysis import native
+    return native.cli("h264_parse", argv)
+
+
 COMMANDS = {
     "dvbtrate": cmd_dvbtrate,
     "dvbs2rate": cmd_dvbs2rate,
@@ -94,6 +99,7 @@ COMMANDS = {
     "qam-mod": cmd_qam_mod,
     "dvbt2-mod": cmd_dvbt2_mod,
     "flags264": cmd_flags264,
+    "h264_parse": cmd_h264_parse,
 }
 
 

@@ -29,6 +29,10 @@ class BitWriter:
         self.u(value + 1, lead + 1)
         return self
 
+    def se(self, value: int) -> "BitWriter":
+        self.ue(2 * value - 1 if value > 0 else -2 * value)
+        return self
+
     def rbsp_trailing(self) -> "BitWriter":
         self.u(1, 1)
         while len(self.bits) % 8:
@@ -234,6 +238,141 @@ def slice_nal(p: SpsParams, slice_type: int, frame_num: int, poc_lsb: int,
         w.u(int(b), 8)
     w.rbsp_trailing()
     return nal(ref_idc, 5 if idr else 1, w.to_bytes(), long_sc)
+
+
+def _scaling_list(w: BitWriter, n: int) -> None:
+    w.se(1)                        # delta: 8 -> 9
+    for _ in range(n - 1):
+        w.se(0)
+
+
+def sps_scaling_nal(p: SpsParams) -> bytes:
+    """High-profile SPS with seq scaling matrices (h264_parse-only path)."""
+    assert p.profile_idc == 100
+    w = BitWriter()
+    w.u(p.profile_idc, 8).u(0, 8).u(p.level_idc, 8)
+    w.ue(1)                        # seq_parameter_set_id 1 (distinct)
+    w.ue(1).ue(0).ue(0)            # chroma 4:2:0, bit depths
+    w.u(0, 1)                      # qpprime
+    w.u(1, 1)                      # seq_scaling_matrix_present
+    for i in range(8):
+        present = 1 if i in (0, 3, 6) else 0
+        w.u(present, 1)
+        if present:
+            _scaling_list(w, 16 if i < 6 else 64)
+    w.ue(p.log2_max_frame_num_minus4)
+    w.ue(0)
+    w.ue(p.log2_max_poc_lsb_minus4)
+    w.ue(4).u(0, 1)
+    w.ue(p.width_mbs - 1).ue(p.height_map_units - 1)
+    w.u(1, 1)                      # frame_mbs_only
+    w.u(1, 1).u(0, 1)              # direct_8x8, no cropping
+    w.u(0, 1)                      # no VUI
+    w.rbsp_trailing()
+    return nal(3, 7, w.to_bytes())
+
+
+def pps_ext_nal() -> bytes:
+    """PPS with the transform_8x8/scaling-list extension tail."""
+    w = BitWriter()
+    w.ue(1).ue(0)                  # pps_id 1, sps_id 0
+    w.u(1, 1)                      # CABAC
+    w.u(0, 1)
+    w.ue(0)
+    w.ue(2).ue(2)
+    w.u(1, 1)                      # weighted_pred
+    w.u(2, 2)
+    w.se(-3).se(2).se(-1)          # qp/qs/chroma offsets
+    w.u(1, 1).u(0, 1).u(0, 1)
+    w.u(1, 1)                      # transform_8x8_mode
+    w.u(1, 1)                      # pic_scaling_matrix_present
+    for i in range(8):             # 6 + 2*transform_8x8
+        present = 1 if i in (1, 7) else 0
+        w.u(present, 1)
+        if present:
+            _scaling_list(w, 16 if i < 6 else 64)
+    w.se(-2)                       # second_chroma_qp_index_offset
+    w.rbsp_trailing()
+    return nal(3, 8, w.to_bytes())
+
+
+def seq_ext_nal() -> bytes:
+    w = BitWriter()
+    w.ue(0)                        # seq_parameter_set_id
+    w.ue(1)                        # aux_format_idc
+    w.ue(2)                        # bit_depth_aux_minus8
+    w.u(1, 1)                      # alpha_incr_flag
+    w.u(123, 11).u(456, 11)        # alpha opaque/transparent (2+9 bits)
+    w.u(0, 1)                      # additional extension flag
+    w.rbsp_trailing()
+    return nal(0, 13, w.to_bytes())
+
+
+def _sei_payload(w: BitWriter, ptype: int, pw: BitWriter) -> None:
+    pw.byte_align()
+    payload = pw.to_bytes()
+    w.u(ptype, 8)
+    w.u(len(payload), 8)
+    for b in payload:
+        w.u(b, 8)
+
+
+def sei_extended_nal(p: SpsParams) -> bytes:
+    """SEI with the payload types h264_parse decodes beyond 0/1."""
+    w = BitWriter()
+    pw = BitWriter()               # pic_timing with a full clock timestamp
+    if p.hrd:
+        pw.u(5, p.cpb_removal_len + 1)
+        pw.u(2, p.dpb_len + 1)
+    pw.u(0, 4)                     # pic_struct 0 -> 1 clock TS
+    pw.u(1, 1)                     # clock_timestamp_flag
+    pw.u(1, 2).u(0, 1).u(4, 5)     # ct_type, nuit_field, counting_type
+    pw.u(1, 1)                     # full_timestamp_flag
+    pw.u(0, 1).u(0, 1)
+    pw.u(17, 8)                    # n_frames
+    pw.u(42, 6).u(13, 6).u(7, 5)   # s/m/h
+    pw.u(99, 23)                   # time_offset (time_offset_length=23)
+    _sei_payload(w, 1, pw)
+    pw = BitWriter()               # recovery_point
+    pw.ue(12).u(1, 1).u(0, 1).u(2, 2)
+    _sei_payload(w, 6, pw)
+    pw = BitWriter()               # dec_ref_pic_marking_repetition
+    pw.u(1, 1).ue(3)
+    _sei_payload(w, 7, pw)
+    pw = BitWriter()               # scene_info, transition > 3
+    pw.u(1, 1).ue(2).ue(5).ue(9)
+    _sei_payload(w, 9, pw)
+    pw = BitWriter()               # user_data_unregistered (printable)
+    for b in b"0123456789abcdef" + b"dtv-utils-tpu native analyzer":
+        pw.u(b, 8)
+    _sei_payload(w, 5, pw)
+    w.rbsp_trailing()
+    return nal(0, 6, w.to_bytes())
+
+
+def make_extended_stream(seed: int = 11) -> bytes:
+    """Exercises h264_parse-only syntax (scaling lists, PPS ext, SEI set)."""
+    p = SpsParams(profile_idc=100)
+    rng = np.random.default_rng(seed)
+    out = bytearray()
+    out += aud_nal(7, long_sc=True)
+    out += sps_nal(p)
+    out += sps_scaling_nal(p)
+    out += pps_nal()
+    out += pps_ext_nal()
+    out += seq_ext_nal()
+    out += sei_extended_nal(p)
+    out += slice_nal(p, 7, 0, 0, idr=True, ref_idc=3, rng=rng)
+    # two slices of the same picture, then a new picture (boundary check)
+    out += slice_nal(p, 5, 1, 2, ref_idc=2, rng=rng)
+    out += slice_nal(p, 5, 1, 2, ref_idc=2, rng=rng)
+    out += slice_nal(p, 5, 2, 4, ref_idc=2, rng=rng)
+    out += aud_nal(0)
+    out += sei_nal(p, pic_struct=0, buffering_period=True)
+    out += slice_nal(p, 0, 3, 6, ref_idc=2, rng=rng)
+    out += nal(0, 10, b"")         # end of sequence
+    out += aud_nal(7)
+    return bytes(out)
 
 
 def make_stream(interlaced: bool = False, profile: int = 77,
