@@ -89,6 +89,11 @@ def cmd_h264_parse(argv: list[str]) -> int:
     return native.cli("h264_parse", argv)
 
 
+def cmd_l1dump(argv: list[str]) -> int:
+    from dtv_utils_tpu.analysis import native
+    return native.cli("l1dump", argv)
+
+
 COMMANDS = {
     "dvbtrate": cmd_dvbtrate,
     "dvbs2rate": cmd_dvbs2rate,
@@ -100,6 +105,7 @@ COMMANDS = {
     "dvbt2-mod": cmd_dvbt2_mod,
     "flags264": cmd_flags264,
     "h264_parse": cmd_h264_parse,
+    "l1dump": cmd_l1dump,
 }
 
 
