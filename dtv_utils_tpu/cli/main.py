@@ -94,6 +94,11 @@ def cmd_l1dump(argv: list[str]) -> int:
     return native.cli("l1dump", argv)
 
 
+def cmd_xport(argv: list[str]) -> int:
+    from dtv_utils_tpu.analysis import native
+    return native.cli("xport", argv)
+
+
 COMMANDS = {
     "dvbtrate": cmd_dvbtrate,
     "dvbs2rate": cmd_dvbs2rate,
@@ -106,6 +111,7 @@ COMMANDS = {
     "flags264": cmd_flags264,
     "h264_parse": cmd_h264_parse,
     "l1dump": cmd_l1dump,
+    "xport": cmd_xport,
 }
 
 

@@ -1,0 +1,75 @@
+"""Native xport vs the reference binary: stdout AND demuxed files."""
+
+import pathlib
+import subprocess
+
+import pytest
+
+import ts_gen
+from dtv_utils_tpu.analysis import native
+
+REF = pathlib.Path("/root/reference")
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+
+
+@pytest.fixture(scope="session")
+def ref_xport(tmp_path_factory):
+    if not (REF / "xport.c").exists():
+        return None
+    out = tmp_path_factory.mktemp("refxp") / "xport"
+    subprocess.run(["gcc", "-O2", "-D_FILE_OFFSET_BITS=64",
+                    str(REF / "xport.c"), "-o", str(out)], check=True)
+    return out
+
+
+def run_in(tmp, binary, args):
+    d = tmp / "run"
+    d.mkdir(parents=True, exist_ok=True)
+    proc = subprocess.run([str(binary)] + args, capture_output=True, cwd=d)
+    files = {}
+    for f in sorted(d.iterdir()):
+        if f.name.startswith("bits"):
+            files[f.name] = f.read_bytes()
+            f.unlink()
+    return proc, files
+
+
+CASES = {
+    "basic": (dict(), ["{ts}", "1", "1", "1"]),
+    "pts_dump": (dict(), ["-av", "{ts}", "1", "1", "1"]),
+    "parse_only": (dict(), ["-pvis", "{ts}", "1", "1", "1"]),
+    "pes_mode": (dict(), ["-z", "{ts}", "1", "1", "1"]),
+    "no_gop": (dict(with_gop=False), ["-t", "{ts}", "1", "1", "1"]),
+    "progressive": (dict(progressive=1), ["{ts}", "1", "1", "1"]),
+    "cc_error": (dict(cc_error=True, garbage=True),
+                 ["-r", "{ts}", "1", "1", "1"]),
+    "psip": (dict(psip=True), ["-gs", "{ts}", "1", "1", "1"]),
+    "dump_pids": (dict(), ["-ds", "{ts}", "1", "1", "1"]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_xport_parity(name, ref_xport, tmp_path):
+    kwargs, argt = CASES[name]
+    ts = tmp_path / "in.ts"
+    ts.write_bytes(ts_gen.make_ts(**kwargs))
+    args = [a.format(ts=ts) for a in argt]
+    ours, our_files = run_in(tmp_path / "ours", native.tool_path("xport"),
+                             args)
+    assert ours.returncode == 0, ours.stderr
+    if ref_xport is not None:
+        theirs, ref_files = run_in(tmp_path / "ref", ref_xport, args)
+        assert ours.stdout.decode() == theirs.stdout.decode()
+        assert our_files.keys() == ref_files.keys()
+        for k in ref_files:
+            assert our_files[k] == ref_files[k], f"{k} differs"
+        (GOLDEN / f"xport_{name}.txt").write_bytes(theirs.stdout)
+    else:
+        expect = (GOLDEN / f"xport_{name}.txt").read_bytes()
+        assert ours.stdout == expect
+
+
+def test_xport_usage():
+    proc = native.run("xport", [], capture_output=True)
+    assert proc.returncode == 255
+    assert b"xport Transport Stream Demuxer 1.1" in proc.stderr
