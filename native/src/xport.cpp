@@ -23,6 +23,8 @@
 #include <string>
 #include <vector>
 
+#include "dtv/bitreader.hpp"
+
 namespace dtv {
 namespace {
 
@@ -599,6 +601,7 @@ struct PsipState {
   unsigned char table[4096] = {};
 };
 
+#include "xport_es2.inc"
 #include "xport_demux.inc"
 
 }  // namespace

@@ -69,6 +69,40 @@ def test_xport_parity(name, ref_xport, tmp_path):
         assert ours.stdout == expect
 
 
+AV_CASES = {
+    "h264_ac3": (dict(video="h264", audio="ac3"), ["{ts}", "1", "1", "1"]),
+    "h264_ac3_pts": (dict(video="h264", audio="ac3"),
+                     ["-avi", "{ts}", "1", "1", "1"]),
+    "vc1_ac3": (dict(video="vc1", audio="ac3"), ["{ts}", "1", "1", "1"]),
+    "lpcm": (dict(video="h264", audio="lpcm", hdmv=True),
+             ["-h", "{ts}", "1", "1", "1"]),
+    "lpcm_stereo_extract": (dict(video="h264", audio="lpcm", hdmv=True,
+                                 lpcm_flags=0x8140),
+                            ["-h2e", "{ts}", "1", "1", "1"]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(AV_CASES))
+def test_xport_av_parity(name, ref_xport, tmp_path):
+    kwargs, argt = AV_CASES[name]
+    ts = tmp_path / "in.ts"
+    ts.write_bytes(ts_gen.make_av_ts(**kwargs))
+    args = [a.format(ts=ts) for a in argt]
+    ours, our_files = run_in(tmp_path / "ours", native.tool_path("xport"),
+                             args)
+    assert ours.returncode == 0, ours.stderr
+    if ref_xport is not None:
+        theirs, ref_files = run_in(tmp_path / "ref", ref_xport, args)
+        assert ours.stdout.decode() == theirs.stdout.decode()
+        assert our_files.keys() == ref_files.keys()
+        for k in ref_files:
+            assert our_files[k] == ref_files[k], f"{k} differs"
+        (GOLDEN / f"xport_{name}.txt").write_bytes(theirs.stdout)
+    else:
+        expect = (GOLDEN / f"xport_{name}.txt").read_bytes()
+        assert ours.stdout == expect
+
+
 def test_xport_usage():
     proc = native.run("xport", [], capture_output=True)
     assert proc.returncode == 255

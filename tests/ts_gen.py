@@ -14,9 +14,11 @@ import numpy as np
 # ---------------------------------------------------------------- TS layer
 
 class TsMux:
-    def __init__(self):
+    def __init__(self, hdmv: bool = False):
         self.cc = {}
         self.out = bytearray()
+        self.hdmv = hdmv
+        self.arrival = 1000
 
     def _next_cc(self, pid: int) -> int:
         c = self.cc.get(pid, 0)
@@ -57,6 +59,10 @@ class TsMux:
                      afc | cc])
         pkt = hdr + bytes(af) + payload[:188]
         assert len(pkt) == 188, len(pkt)
+        if self.hdmv:
+            self.out += ((self.arrival & 0x3FFFFFFF)
+                         | (0x40 << 24)).to_bytes(4, "big")
+            self.arrival += 1536
         self.out += pkt
 
     def add_section(self, pid: int, section: bytes) -> None:
@@ -78,6 +84,10 @@ class TsMux:
 
     def stuffing(self, n: int = 1) -> None:
         for _ in range(n):
+            if self.hdmv:
+                self.out += ((self.arrival & 0x3FFFFFFF)
+                             | (0x40 << 24)).to_bytes(4, "big")
+                self.arrival += 1536
             pkt = bytes([0x47, 0x1F, 0xFF, 0x10]) + b"\xff" * 184
             self.out += pkt
 
@@ -226,6 +236,113 @@ def mp2_frame(rng, bitrate_idx=14, fs_idx=1, mode=0) -> bytes:
     return hdr + bytes(data)
 
 
+# ------------------------------------------------------------- AC-3 ES
+
+def ac3_frame(rng, bitrate_idx=14, fs_idx=0, acmod=7, bsid=8, bsmod=0):
+    """One 1536-sample AC-3 syncframe (fs 48k -> bitrate*192/fs bytes)."""
+    bitrates = [32000, 40000, 48000, 56000, 64000, 80000, 96000, 112000,
+                128000, 160000, 192000, 224000, 256000, 320000, 384000,
+                448000, 512000, 576000, 640000]
+    rates = [48000, 44100, 32000]
+    size = bitrates[bitrate_idx] * 192 // rates[fs_idx]
+    hdr = bytes([0x0B, 0x77, 0x12, 0x34,
+                 (fs_idx << 6) | (bitrate_idx * 2),
+                 (bsid << 3) | bsmod, (acmod << 5) | 0x1F])
+    data = rng.integers(0x10, 0xEF, size - 7, dtype=np.uint8)
+    return hdr + bytes(data)
+
+
+# ------------------------------------------------------------- VC-1 ES
+
+def vc1_sequence_header() -> bytes:
+    """Advanced profile, 1920x1088 coded, display ext + 29.97 frame rate."""
+    w12, h12 = (1920 - 2) // 2, (1080 - 2) // 2
+    dw, dh = 1919, 1079
+    b = bytearray([0, 0, 1, 0x0F])
+    b += bytes([0xDA, 0x12, w12 >> 4, ((w12 & 0xF) << 4) | (h12 >> 8),
+                h12 & 0xFF])
+    b += bytes([0x80 | 0x02 | ((dw >> 13) & 1)])   # pulldown, display_ext
+    b += bytes([(dw >> 5) & 0xFF, ((dw & 0x1F) << 3) | ((dh >> 11) & 7),
+                (dh >> 3) & 0xFF, ((dh & 7) << 5) | 0x10 | 0x01])
+    b += bytes([0x80, 0xC8, 0x00])                 # fr flag, nr=3, dr=2
+    return bytes(b)
+
+
+def vc1_entry_point() -> bytes:
+    return bytes([0, 0, 1, 0x0E, 0x44, 0x6A, 0x28, 0x40])
+
+
+def vc1_frame(rng, ptype: str, rptfrm: int = 0, size: int = 200) -> bytes:
+    if ptype == "I":
+        b1 = 0xC0 | (rptfrm << 3)
+    elif ptype == "P":
+        b1 = 0x00 | (rptfrm << 5)
+    elif ptype == "B":
+        b1 = 0x80 | (rptfrm << 4)
+    elif ptype == "BI":
+        b1 = 0xE0 | (rptfrm << 2)
+    else:                                          # skipped
+        b1 = 0xF0 | (rptfrm << 1)
+    data = rng.integers(0x10, 0xEF, size, dtype=np.uint8)
+    return bytes([0, 0, 1, 0x0D, b1, 0x22, 0x33, 0x44]) + bytes(data)
+
+
+def vc1_stream(rng, n_frames=18) -> list[tuple[bytes, int, int | None]]:
+    out = []
+    tick = 3003
+    base = 95000
+    for n in range(n_frames):
+        es = bytearray()
+        if n % 6 == 0:
+            es += vc1_sequence_header()
+            es += vc1_entry_point()
+            ptype = "I"
+        else:
+            ptype = "B" if n % 3 == 2 else "P"
+        es += vc1_frame(rng, ptype, rptfrm=1 if n % 7 == 6 else 0)
+        if n == n_frames - 1:
+            es += bytes([0, 0, 1, 0x0A])           # end-of-sequence BDU
+        pts = base + n * tick
+        dts = pts - 2 * tick if ptype != "B" else None
+        out.append((bytes(es), pts, dts))
+    return out
+
+
+# ------------------------------------------------------------- H.264 ES
+
+def h264_pictures(rng) -> list[tuple[bytes, int, int | None]]:
+    import h264_gen
+    p = h264_gen.SpsParams()
+    out = []
+    tick = 3003
+    base = 92000
+    frame = 0
+    for g in range(3):
+        es = bytearray()
+        es += h264_gen.aud_nal(0)                  # I-only AUD starts output
+        es += h264_gen.sps_nal(p)
+        es += h264_gen.pps_nal()
+        es += h264_gen.sei_nal(p, pic_struct=0, buffering_period=True)
+        es += h264_gen.slice_nal(p, 7, frame, 0, idr=True, ref_idc=3,
+                                 payload_bytes=96, rng=rng)
+        pts = base + frame * tick
+        out.append((bytes(es), pts, pts - 2 * tick))
+        frame += 1
+        for k in range(5):
+            es = bytearray()
+            es += h264_gen.aud_nal(1 if k % 2 == 0 else 2)
+            es += h264_gen.sei_nal(p, pic_struct=k % 9)
+            stype = 0 if k % 2 == 0 else 1
+            ref = 2 if stype == 0 else 0
+            es += h264_gen.slice_nal(p, stype, frame, (frame * 2) % 256,
+                                     ref_idc=ref, payload_bytes=64, rng=rng)
+            pts = base + frame * tick
+            dts = pts - 2 * tick if stype == 0 else None
+            out.append((bytes(es), pts, dts))
+            frame += 1
+    return out
+
+
 # ---------------------------------------------------------- PSIP sections
 
 def mgt(tables: list[tuple[int, int, int]]) -> bytes:
@@ -336,5 +453,56 @@ def make_ts(with_gop=True, progressive=0, psip=False, cc_error=False,
                 (0x22, 0x60000708, 3600, "Late Movie",
                  bytes([0x87, 2, 0x01, 0x02, 0xAA, 3, 1, 2, 3])),
             ]))
+        mux.stuffing(1)
+    return bytes(mux.out)
+
+
+def make_av_ts(video: str = "h264", audio: str = "ac3", hdmv: bool = False,
+               lpcm_flags: int = 0x3140, seed: int = 5) -> bytes:
+    """Generic AV mux for the stage-2 ES parsers."""
+    rng = np.random.default_rng(seed)
+    mux = TsMux(hdmv=hdmv)
+    vtype = {"h264": 0x1B, "vc1": 0xEA, "mpeg2": 0x02}[video]
+    atype = {"ac3": 0x81, "mp2": 0x04, "lpcm": 0x80}[audio]
+    mux.add_section(0x0000, pat([(1, PMT_PID)]))
+    mux.add_section(PMT_PID, pmt(1, VIDEO_PID,
+                                 [(vtype, VIDEO_PID, b""),
+                                  (atype, AUDIO_PID, b"")]))
+    if video == "h264":
+        pictures = h264_pictures(rng)
+    elif video == "vc1":
+        pictures = vc1_stream(rng)
+    else:
+        pictures = m2v_stream(rng)
+    if audio == "ac3":
+        aframes = [ac3_frame(rng) for _ in range(20)]
+        samples, fs = 1536, 48000
+    elif audio == "mp2":
+        aframes = [mp2_frame(rng) for _ in range(20)]
+        samples, fs = 1152, 48000
+    else:
+        aframes = None
+    audio_pts = 86000
+    ai = 0
+    pcr = 80000 * 300
+    for n, (es, pts, dts) in enumerate(pictures):
+        mux.add_pes(VIDEO_PID, pes(0xE0, es, pts, dts, unbounded=True),
+                    pcr=pcr)
+        pcr += 3003 * 300
+        if aframes is not None:
+            if n % 2 == 0 and ai + 2 <= len(aframes):
+                payload = aframes[ai] + aframes[ai + 1]
+                ai += 2
+                sid = 0xBD if audio == "ac3" else 0xC0
+                mux.add_pes(AUDIO_PID, pes(sid, payload, audio_pts))
+                audio_pts += 2 * samples * 90000 // fs
+        elif n % 2 == 0:
+            # LPCM: PES-private with the 4-byte header after the PES header;
+            # odd payload size exercises the sample carry + resync path
+            nbytes = 6 * 2 * 24 + (2 if n % 4 == 0 else 0)
+            pcm = bytes(rng.integers(0, 255, nbytes, dtype=np.uint8))
+            payload = lpcm_flags.to_bytes(4, "big") + pcm
+            mux.add_pes(AUDIO_PID, pes(0xBD, payload, audio_pts))
+            audio_pts += 24 * 90000 // 48000
         mux.stuffing(1)
     return bytes(mux.out)
