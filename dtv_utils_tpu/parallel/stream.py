@@ -134,3 +134,41 @@ def sharded_dvbt_modulator(cfg: DvbtConfig, mesh: Mesh, axis: str = "seq"):
 
     in_sharding = NamedSharding(mesh, P(axis, None))
     return run, in_sharding
+
+
+def batched_dvbt_modulator(cfg: DvbtConfig):
+    """Single-device batched modulator: the same carry-derivation trick used
+    for sequence sharding, applied to a batch of consecutive superframes in
+    ONE dispatch — every block's stream state is recomputed from its
+    predecessor's 12-packet tail, so the whole batch vmaps with no serial
+    dependency.  This is the serving shape (amortizes dispatch + pads better
+    on the MXU/VPU than one superframe at a time).
+
+    Returns jit'd fn(ts_blocks [B, blk], prev_tail [12*188], start_idx)
+    → iq [B, samples, 2]; for a fresh stream pass start_idx=0 (prev_tail is
+    then ignored for block 0).
+    """
+    halo = HALO_PACKETS * 188
+
+    @jax.jit
+    def run(ts_blocks: jax.Array, prev_tail: jax.Array,
+            start_idx: jax.Array) -> jax.Array:
+        B = ts_blocks.shape[0]
+        prev_tails = jnp.concatenate(
+            [prev_tail[None], ts_blocks[:-1, -halo:]], axis=0)
+        global_idx = start_idx + jnp.arange(B, dtype=jnp.int32)
+        states = jax.vmap(lambda t, i: derive_state(cfg, t, i))(
+            prev_tails, global_idx)
+        init = txd.init_state(cfg)
+        is_first = (global_idx == 0)
+        states = jax.tree.map(
+            lambda s, z: jnp.where(
+                is_first.reshape((B,) + (1,) * z.ndim), z[None], s),
+            states, init)
+
+        def one(ts_i, st_i):
+            iq, _ = txd.modulate_superframe(cfg, ts_i, st_i)
+            return iq
+        return jax.vmap(one)(ts_blocks, states)
+
+    return run

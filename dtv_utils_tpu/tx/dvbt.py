@@ -39,7 +39,6 @@ from dtv_utils_tpu.core import cplx
 from dtv_utils_tpu.core.config import DvbtConfig
 from dtv_utils_tpu.ops.cfft import ifft_pairs, ifftshift_pairs
 from dtv_utils_tpu.core.prbs import dvbt_dispersal_mask
-from dtv_utils_tpu.ops.convcode import conv_encode
 from dtv_utils_tpu.ops.interleave import forney_carry_len
 from dtv_utils_tpu.ops.rs import DVBT_RS
 from dtv_utils_tpu.tx import dvbt_tables as T
@@ -95,25 +94,77 @@ def _plan(cfg: DvbtConfig):
                     T.constellation_lut(cfg.constellation).imag],
                    axis=-1).astype(np.float32)
     plan_c = T.carrier_plan(cfg)
-    static_cells = np.stack([plan_c.static_cells.real,
-                             plan_c.static_cells.imag],
-                            axis=-1).astype(np.float32)
-    pow2 = (1 << np.arange(v - 1, -1, -1)).astype(np.int32)
     demux_pos = np.argsort(np.asarray(T.DEMUX[v]))
-    # NumPy only, and no full-stream index tables: giant gather constants
-    # bloat the executable (hundreds of MB at 8k 64QAM) — every permutation
-    # below is expressed with strided slices / rolls / tiny index vectors.
+
+    # ---- inner coding as ONE generator-matrix matmul --------------------
+    # Conv-encode + puncture + demux + bit-interleaver roll compose to a
+    # GF(2)-linear, periodic map from input bits to cell bit-planes: over a
+    # period of P cells the whole thing is cells = (window @ B) mod 2 for a
+    # small binary matrix B — the MXU formulation (each output bit is the
+    # XOR of the G1/G2 taps of one input step).  P = lcm(126, K/gcd(v,K)).
+    from dtv_utils_tpu.ops.convcode import G1_TAPS, G2_TAPS
+    per = len(xp)
+    n_keep = len(keep_cols)
+    g = int(np.gcd(v, n_keep))
+    R = n_keep // g
+    n_cells = cfg.cells_per_superframe
+    P = int(np.lcm(T.BIT_ILV_BLOCK, R))
+    assert n_cells % P == 0 and (v * P) % n_keep == 0, (n_cells, P)
+    S_bits = per * (v * P // n_keep)
+    max_c = 0
+    entries = []     # (c, column) pairs with column = u*v + e
+    for u in range(P):
+        blk_base = (u // T.BIT_ILV_BLOCK) * T.BIT_ILV_BLOCK
+        for e in range(v):
+            # H_e roll baked in: plane e of cell u reads demuxed stream cell
+            u2 = blk_base + ((u % T.BIT_ILV_BLOCK) + T.BIT_ILV_OFFSETS[e]) \
+                % T.BIT_ILV_BLOCK
+            s0 = v * u2 + int(demux_pos[e])
+            col = keep_cols[s0 % n_keep]
+            step, which = col // 2, col % 2
+            base = per * (s0 // n_keep) + step
+            taps = G1_TAPS if which == 0 else G2_TAPS
+            for j in taps:
+                c = 6 + base - j
+                max_c = max(max_c, c)
+                entries.append((c, u * v + e))
+    W = max_c + 1
+    assert W - S_bits < S_bits   # window overlap fits one extra row
+    B = np.zeros((W, P * v), dtype=np.int8)
+    for c, colm in entries:
+        B[c, colm] ^= 1
+
+    # ---- composed symbol-interleave + pilot/TPS gather ------------------
+    # carriers[l, k] = lut[words[l, comp_idx[l%4, k]]] on data positions,
+    # else static_vals[l, k]: one gather per pilot phase instead of the
+    # two-stage interleave → concat → gather.
+    n_data = plan_c.n_data
+    comp_idx = np.zeros((4, cfg.mode.carriers), dtype=np.int32)
+    data_mask = np.zeros((4, cfg.mode.carriers), dtype=bool)
+    perms = (even_idx, odd_idx)
+    for ph in range(4):
+        gi = plan_c.gidx[ph]
+        m = gi < n_data
+        data_mask[ph] = m
+        comp_idx[ph][m] = perms[ph % 2][gi[m]]
+    static_vals = np.zeros(
+        (cfg.symbols_per_superframe, cfg.mode.carriers, 2), np.float32)
+    for l in range(cfg.symbols_per_superframe):
+        ph = l % 4
+        sv = plan_c.static_cells[l][plan_c.gidx[ph][~data_mask[ph]] - n_data]
+        static_vals[l][~data_mask[ph], 0] = sv.real
+        static_vals[l][~data_mask[ph], 1] = sv.imag
+
     return dict(
         masks=masks,
-        punct_period=len(xp),
-        keep_cols=np.asarray(keep_cols, dtype=np.int32),
-        demux_pos=demux_pos.astype(np.int32),
-        even_idx=even_idx.astype(np.int32),
-        odd_idx=odd_idx.astype(np.int32),
+        gen_B=B,
+        gen_P=P,
+        gen_S=S_bits,
+        gen_W=W,
         lut=lut,
-        gidx=plan_c.gidx.astype(np.int32),
-        static_cells=static_cells,
-        pow2=pow2,
+        comp_idx=comp_idx,
+        data_mask=data_mask,
+        static_vals=static_vals,
     )
 
 
@@ -149,39 +200,47 @@ def encode_to_carriers(cfg: DvbtConfig, ts: jax.Array,
     outer = jnp.stack(cols, axis=1).reshape(n_bytes)
     new_outer_carry = ext[-C:]
 
-    # 4. inner coder: K=7 mother code on the bitstream + puncturing
+    # 4+5. inner coder + puncture + demux + bit interleave as ONE int8 MXU
+    # matmul over GF(2): cell bit-planes = (windows @ B) & 1, where windows
+    # is the bit stream viewed as overlapping [M, W] rows (two aligned
+    # reshapes — no gathers) and B is the tiny precomputed generator matrix.
     dbits = bitops.bytes_to_bits(outer)
-    xy = conv_encode(dbits, state.conv_state)          # [nbits, 2]
     new_conv_state = dbits[-6:][::-1]                  # most recent first
-    # puncture: pick kept (step, X/Y) columns within each period
-    per = p["punct_period"]
-    punctured = xy.reshape(-1, 2 * per)[:, p["keep_cols"]].reshape(-1)
+    n_cells = cfg.cells_per_superframe
+    P, S, W = p["gen_P"], p["gen_S"], p["gen_W"]
+    M = n_cells // P
+    d_ext = jnp.concatenate([state.conv_state[::-1].astype(jnp.uint8),
+                             dbits])
+    A = jnp.pad(d_ext, (0, S * (M + 1) - d_ext.shape[0]))
+    head = A[:S * M].reshape(M, S)
+    tail = A[S:S * (M + 1)].reshape(M, S)[:, :W - S]
+    windows = jnp.concatenate([head, tail], axis=1).astype(jnp.int8)
+    planes = jnp.matmul(windows, jnp.asarray(p["gen_B"]),
+                        preferred_element_type=jnp.int32) & 1
+    pl = planes.reshape(M, P, v)                       # [M, P, e]
+    words = pl[:, :, 0]
+    for e in range(1, v):
+        words = (words << 1) | pl[:, :, e]
+    words = words.reshape(n_cells)
 
-    # 5. bit interleaver: demux = column pick, H_e(w)=(w+off_e)%126 = roll
-    bits3 = punctured.reshape(-1, T.BIT_ILV_BLOCK, v)  # [blk, w, j]
-    cell_cols = [jnp.roll(bits3[:, :, int(p["demux_pos"][e])],
-                          -T.BIT_ILV_OFFSETS[e], axis=1)
-                 for e in range(v)]
-    cell_bits = jnp.stack(cell_cols, axis=-1)          # [blk, w, e]
-    words = jnp.sum(cell_bits.reshape(-1, v).astype(jnp.int32) * p["pow2"],
-                    axis=-1)
-
-    # 6. symbol interleaver: one small [n_data] gather per parity class
-    sym_words = words.reshape(n_sym // 2, 2, n_data)
-    sym_words = jnp.stack(
-        [sym_words[:, 0, :][:, p["even_idx"]],
-         sym_words[:, 1, :][:, p["odd_idx"]]], axis=1).reshape(n_sym, n_data)
-
-    # 7. QAM map
-    data_cells = jnp.asarray(p["lut"])[sym_words]      # pairs [.., 2]
-
-    # 8. pilots + TPS: per-phase [K] gather from [data || static]
-    source = jnp.concatenate(
-        [data_cells, jnp.asarray(p["static_cells"])], axis=1)
-    src4 = source.reshape(n_sym // 4, 4, source.shape[1], 2)
-    carriers = jnp.stack(
-        [src4[:, ph][:, p["gidx"][ph]] for ph in range(4)],
-        axis=1).reshape(n_sym, -1, 2)
+    # 6-8. symbol interleave + QAM map + pilots/TPS as ONE gather per pilot
+    # phase: carriers[l,k] = lut[words[l, comp_idx[l%4,k]]] on data cells,
+    # else the precomputed static (pilot/TPS) value.  The gather runs on a
+    # TRANSPOSED [n_data, n_sym/4] layout so each index pulls a contiguous
+    # row (a minor-axis gather reads a cache line per element — it was 85%
+    # of the chain's bytes before this).
+    lut = jnp.asarray(p["lut"])
+    words4 = words.reshape(n_sym // 4, 4, n_data)
+    wT = jnp.transpose(words4, (1, 2, 0))              # [4, n_data, n_sym/4]
+    rows = []
+    for ph in range(4):
+        idx = jnp.asarray(p["comp_idx"][ph])
+        rows.append(jnp.take(wT[ph], idx, axis=0))     # [K, n_sym/4]
+    gathered = jnp.stack(rows, axis=0)                 # [4, K, n_sym/4]
+    data_part = lut[jnp.transpose(gathered, (2, 0, 1))].reshape(n_sym, -1, 2)
+    mask = jnp.asarray(p["data_mask"])                 # [4, K]
+    mask_sym = jnp.tile(mask, (n_sym // 4, 1))[:, :, None]
+    carriers = jnp.where(mask_sym, data_part, jnp.asarray(p["static_vals"]))
 
     return carriers, DvbtState(packet_phase=new_phase,
                                outer_carry=new_outer_carry,
