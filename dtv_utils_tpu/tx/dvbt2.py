@@ -64,8 +64,27 @@ def _plan(cfg: Dvbt2Config):
     crc8_m = gf2_poly_mod_matrix(_CRC8_POLY, 187 * 8).astype(np.int8)
     hdr_crc_m = gf2_poly_mod_matrix(_CRC8_POLY, 72).astype(np.int8)
     scramble = bb_scrambler_bits(kbch)
-    src, dst = T.ldpc_edge_arrays(
-        (cfg.code_rate.value, cfg.nldpc, cfg.nbch, cfg.ldpc_q))
+    # LDPC accumulator edges in the rotated quasi-cyclic basis: address
+    # a = c + q*s of group g means parity[(s+m)%360, c] ^= info[g, m] — so
+    # the whole pre-accumulator is a [360, E] gather plus one tiny int8
+    # matmul against an [E, q] column-selector (MXU parity via integer sum).
+    rows_ldpc = T.ldpc_accumulator_rows(cfg.code_rate.value, cfg.nldpc,
+                                        cfg.nbch)
+    q = cfg.ldpc_q
+    ldpc_g, ldpc_s, ldpc_c = [], [], []
+    for g, addrs in enumerate(rows_ldpc):
+        for a in addrs:
+            ldpc_g.append(g)
+            ldpc_s.append(a // q)
+            ldpc_c.append(a % q)
+    E = len(ldpc_g)
+    # contrib[b,e,r] = info3[b, g_e, (r - s_e) % 360] = EXT[b, base_e + r]
+    # with EXT the per-group doubled info laid flat — base_e is STATIC, so
+    # every edge is one contiguous static slice (no gathers at all).
+    ldpc_base = [g * 720 + (360 - s) % 360
+                 for g, s in zip(ldpc_g, ldpc_s)]
+    ldpc_sel = np.zeros((E, q), dtype=np.int8)
+    ldpc_sel[np.arange(E), ldpc_c] = 1
     bit_perm = T.bit_interleaver_perm(cfg)
     dperm = T.demux_perm(cfg)
     v = cfg.constellation.bits_per_symbol
@@ -86,7 +105,8 @@ def _plan(cfg: Dvbt2Config):
     pow2 = (1 << np.arange(v - 1, -1, -1)).astype(np.int32)
     return dict(n_bytes=n_bytes, dfl_bytes=dfl_bytes, bch_m=bch_m,
                 crc8_m=crc8_m, hdr_crc_m=hdr_crc_m,
-                scramble=scramble, ldpc_src=src, ldpc_dst=dst,
+                scramble=scramble, ldpc_base=tuple(ldpc_base),
+                ldpc_sel=ldpc_sel,
                 bit_perm=bit_perm, dperm=dperm, lut=lut,
                 ci_gather=ci_gather, ti_sizes=tuple(ti_sizes), pow2=pow2)
 
@@ -159,16 +179,20 @@ def fec_encode(cfg: Dvbt2Config, bbframes: jax.Array) -> jax.Array:
     bch_par = gf2_matmul(scrambled, jnp.asarray(p["bch_m"]))
     info = jnp.concatenate([scrambled, bch_par], axis=1)   # [blocks, nbch]
 
-    n_parity = cfg.nldpc - cfg.nbch
-    src = jnp.asarray(p["ldpc_src"])
-    dst = jnp.asarray(p["ldpc_dst"])
-
-    def one(bits):
-        contrib = bits[src].astype(jnp.int32)
-        pre = jnp.zeros(n_parity, jnp.int32).at[dst].add(contrib)
-        return (jnp.cumsum(pre) & 1).astype(jnp.uint8)
-
-    parity = jax.vmap(one)(info)
+    # rotated-basis accumulator (see _plan): each edge contributes one
+    # STATIC contiguous 360-slice of the doubled info; the column scatter is
+    # one [b,360,E]x[E,q] int8 MXU matmul (Σ mod 2 == XOR).
+    q = cfg.ldpc_q
+    b = info.shape[0]
+    info3 = info.reshape(b, -1, 360).astype(jnp.int8)
+    ext = jnp.concatenate([info3, info3], axis=2).reshape(b, -1)  # doubled
+    contrib = jnp.stack(
+        [jax.lax.slice(ext, (0, base), (b, base + 360))
+         for base in p["ldpc_base"]], axis=-1)             # [b, 360, E]
+    pre_rot = jnp.matmul(contrib, jnp.asarray(p["ldpc_sel"]),
+                         preferred_element_type=jnp.int32)  # [b, 360, q]
+    pre = pre_rot.reshape(b, 360 * q)                      # p = q·r + c
+    parity = (jnp.cumsum(pre, axis=1) & 1).astype(jnp.uint8)
     return jnp.concatenate([info, parity], axis=1)
 
 
@@ -310,24 +334,21 @@ def _frame_arrays(cfg: Dvbt2Config):
     dummy_bits = bb_scrambler_bits(max(n_dummy, 1))[:n_dummy]
     dummy = np.stack([1.0 - 2.0 * dummy_bits.astype(np.float32),
                       np.zeros(n_dummy, np.float32)], -1)
-    # frequency interleaver: per-symbol gather over its data cells
+    # Compose (stream split → frequency interleave → data-carrier scatter)
+    # into ONE static gather: grid[l, k] = stream[src[l, k]] on data
+    # carriers, pilot/zero otherwise.  out[h[j]] = in[j] means the data
+    # carrier holding data-cell i reads stream[start_l + hinv[i]].
     h_even, h_odd = T.freq_interleaver_perms(cfg)
-    fi_rows = np.zeros((lf, cnts.max()), dtype=np.int32)
+    src = np.full((lf, K), -1, dtype=np.int32)
+    start = 0
     for l in range(lf):
-        c = cnts[l]
+        c = int(cnts[l])
         h = h_even if l % 2 == 0 else h_odd
         hp = h[h < c]                     # truncated permutation over [0, c)
-        fi_rows[l, :c] = hp
-    # scatter: flat positions (l * K + carrier) in symbol-major cell order,
-    # plus the (l, j) gather that linearizes the padded per-symbol rows
-    flat_idx, val_l, val_j = [], [], []
-    for l in range(lf):
-        flat_idx.append(l * K + fp["data_idx"][l, :cnts[l]].astype(np.int64))
-        val_l.append(np.full(cnts[l], l, dtype=np.int32))
-        val_j.append(np.arange(cnts[l], dtype=np.int32))
-    flat_idx = np.concatenate(flat_idx).astype(np.int32)
-    val_l = np.concatenate(val_l)
-    val_j = np.concatenate(val_j)
+        hinv = np.empty(c, dtype=np.int32)
+        hinv[hp] = np.arange(c, dtype=np.int32)
+        src[l, fp["data_idx"][l, :c]] = start + hinv
+        start += c
     # static pilot grid
     grid = np.zeros((lf, K, 2), dtype=np.float32)
     sign = fp["pilot_sign"]
@@ -339,8 +360,8 @@ def _frame_arrays(cfg: Dvbt2Config):
     cp = fp["cp_set"]
     for l in range(n_p2, lf):
         grid[l, cp, 0] = T.CP_AMPLITUDE[cfg.fft_size] * sign[cp]
-    return dict(dummy=dummy, fi_rows=fi_rows, flat_idx=flat_idx,
-                val_l=val_l, val_j=val_j,
+    return dict(dummy=dummy, src=np.maximum(src, 0),
+                data_mask=(src >= 0),
                 pilot_grid=grid, cnts=cnts, total=total, lf=lf, K=K)
 
 
@@ -353,23 +374,10 @@ def build_frame_grid(cfg: Dvbt2Config, payload: jax.Array) -> jax.Array:
         jnp.asarray(l1["pre_cells"]), jnp.asarray(l1["post_cells"]),
         payload, jnp.asarray(fa["dummy"])], axis=0)
     lf, K = fa["lf"], fa["K"]
-    cmax = fa["fi_rows"].shape[1]
-    cnts = jnp.asarray(fa["cnts"])
-    # split into per-symbol rows (padded to cmax; starts are host constants)
-    starts = np.concatenate([[0], np.cumsum(fa["cnts"])[:-1]])
-    padded = jnp.concatenate([stream, jnp.zeros((cmax, 2), stream.dtype)])
-    rows = jnp.stack([padded[int(s):int(s) + cmax] for s in starts])
-    # frequency interleave within each symbol: out[h[j]] = in[j]
-    fi = jnp.asarray(fa["fi_rows"])                # [lf, cmax]
-    sym = jnp.zeros_like(rows)
-    li = jnp.arange(lf)[:, None]
-    sym = sym.at[li, fi].set(rows)                 # scatter per symbol
-    # data scatter into the carrier grid + static pilot overlay
-    del cnts
-    flat_vals = sym[jnp.asarray(fa["val_l"]),
-                    jnp.asarray(fa["val_j"])]      # [total, 2] in cell order
-    grid = jnp.asarray(fa["pilot_grid"]).reshape(lf * K, 2)
-    grid = grid.at[jnp.asarray(fa["flat_idx"])].set(flat_vals)
+    # one composed row-gather: grid[l,k] = stream[src[l,k]] on data cells
+    vals = jnp.take(stream, jnp.asarray(fa["src"]).reshape(-1), axis=0)
+    mask = jnp.asarray(fa["data_mask"]).reshape(-1, 1)
+    grid = jnp.where(mask, vals, jnp.asarray(fa["pilot_grid"]).reshape(-1, 2))
     return grid.reshape(lf, K, 2)
 
 
