@@ -17,3 +17,26 @@ Design principles (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA executables across processes (CLI invocations pay XLA
+    compile latency otherwise — minutes on remote-tunnel backends).  Opt
+    out with DTV_JAX_CACHE=0."""
+    import os
+    if os.environ.get("DTV_JAX_CACHE", "1") == "0":
+        return
+    path = os.environ.get(
+        "DTV_JAX_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "dtv_utils_tpu",
+                     "jax"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        import jax
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:   # cache is best-effort; never block import
+        pass
+
+
+_enable_compilation_cache()

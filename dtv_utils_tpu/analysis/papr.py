@@ -28,26 +28,26 @@ def _power_f32(i: jax.Array, q: jax.Array) -> jax.Array:
 
     The reference computes float32 mul, float32 mul, float32 add
     (papr.c:103); XLA would otherwise fuse this into an FMA whose different
-    rounding flips last-ulp peak values.  Rounding each product through
-    float32 explicitly (f64 product → f32 is the same rounding as an f32
-    multiply) blocks the fusion while keeping one vector pass.
+    rounding flips last-ulp peak values.  An optimization barrier between
+    the products and the add blocks the fusion at zero cost (the earlier
+    f64-roundtrip variant hit TPU float64 EMULATION — ~100x slower).
     """
-    ii = (i.astype(jnp.float64) * i.astype(jnp.float64)).astype(jnp.float32)
-    qq = (q.astype(jnp.float64) * q.astype(jnp.float64)).astype(jnp.float32)
-    return ii + qq
+    ii = jax.lax.optimization_barrier(i * i)
+    return ii + q * q
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _pass1_chunk(i: jax.Array, q: jax.Array):
-    """Stats of one chunk: everything needed by papr.c's first pass.
-
-    Returns (power_sum_f64, peak, peak_idx, rail_max/min and their idxs, n).
-    Indices are chunk-local; the streaming combiner rebases them.
+def _pass1_chunk(raw: jax.Array):
+    """Stats of one chunk (raw = interleaved IQ float32 [2n]): everything
+    the reference's first pass reports.  Taking the interleaved buffer
+    directly avoids a strided host-side split; the deinterleave is a device
+    slice.  Indices are chunk-local; the streaming combiner rebases them.
     """
+    i = raw[0::2]
+    q = raw[1::2]
     power = _power_f32(i, q)
     peak_idx = jnp.argmax(power)
     return dict(
-        power_sum=jnp.sum(power.astype(jnp.float64)),
         peak=power[peak_idx], peak_idx=peak_idx,
         real_pos=jnp.max(i), real_pos_idx=jnp.argmax(i),
         real_neg=jnp.min(i), real_neg_idx=jnp.argmin(i),
@@ -57,14 +57,16 @@ def _pass1_chunk(i: jax.Array, q: jax.Array):
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _pass2_chunk(i: jax.Array, q: jax.Array, levels: jax.Array):
+def _pass2_chunk(raw: jax.Array, levels: jax.Array):
     """Count of samples with power strictly above each ascending level."""
+    i = raw[0::2]
+    q = raw[1::2]
     power = _power_f32(i, q)
     idx = jnp.searchsorted(levels, power, side="left")  # #levels < power
     hist = jnp.bincount(idx, length=levels.shape[0] + 1)
     # counts[j] = sum_{m > j} hist[m]
     suffix = jnp.cumsum(hist[::-1])[::-1]
-    return suffix[1:].astype(jnp.int64)
+    return suffix[1:].astype(jnp.int32)   # host accumulates in int64
 
 
 class PaprStats:
@@ -90,8 +92,9 @@ class PaprStats:
         self.imag_neg_offset = 0
 
     def update(self, chunk_stats: dict, base: int):
-        s = {k: np.asarray(v) for k, v in chunk_stats.items()}
-        self.power_sum += float(s["power_sum"])
+        # ONE transfer for all ten scalars — a per-value fetch costs a full
+        # round trip each on remote-device backends
+        s = jax.device_get(chunk_stats)
         if float(s["peak"]) > self.peak:
             self.peak = float(s["peak"])
             self.peak_offset = base + int(s["peak_idx"])
@@ -114,7 +117,7 @@ class PaprStats:
 
 
 def _iter_chunks(path: str, chunk_complex: int):
-    """Yield (i, q, base_offset) float32 arrays from an interleaved cfile."""
+    """Yield (raw_interleaved, base_offset) float32 arrays from a cfile."""
     base = 0
     with open(path, "rb") as f:
         while True:
@@ -123,32 +126,34 @@ def _iter_chunks(path: str, chunk_complex: int):
                 break
             if raw.size % 2:  # trailing half-sample: drop the odd float,
                 raw = raw[:-1]  # like the reference's i+=2 stride would
-            pairs = raw.reshape(-1, 2)
-            yield pairs[:, 0], pairs[:, 1], base
-            base += pairs.shape[0]
+            yield raw, base
+            base += raw.size // 2
             if raw.size < 2 * chunk_complex:
                 break
 
 
 def analyze_file(path: str, chunk_complex: int = 1 << 22) -> PaprStats:
     stats = PaprStats()
-    # x64 must actually be on: the f64 power accumulation silently truncates
-    # to f32 otherwise, flipping the last printed PAPR digit vs. the C tool.
-    with jax.enable_x64():
-        for i, q, base in _iter_chunks(path, chunk_complex):
-            stats.update(_pass1_chunk(jnp.asarray(i), jnp.asarray(q)), base)
-            stats.n += i.shape[0]
+    for raw, base in _iter_chunks(path, chunk_complex):
+        stats.update(_pass1_chunk(jnp.asarray(raw)), base)
+        # The f64 power accumulation runs on the HOST: numpy's f32 multiply
+        # rounds exactly like the C tool's, and f64 accumulation of f32
+        # power values is exact at any realistic file size (24-bit addends,
+        # 53-bit accumulator) — so chunking cannot change the sum.  The TPU
+        # only emulates float64, ~100x slower.
+        sq = raw * raw
+        power = sq.reshape(-1, 2).sum(axis=1, dtype=np.float32)  # ii + qq
+        stats.power_sum += float(np.sum(power, dtype=np.float64))
+        stats.n += raw.size // 2
     return stats
 
 
 def ccdf_counts(path: str, levels: np.ndarray,
                 chunk_complex: int = 1 << 22) -> np.ndarray:
     counts = np.zeros(len(levels), dtype=np.int64)
-    with jax.enable_x64():
-        lv = jnp.asarray(levels.astype(np.float32))
-        for i, q, _ in _iter_chunks(path, chunk_complex):
-            counts += np.asarray(
-                _pass2_chunk(jnp.asarray(i), jnp.asarray(q), lv))
+    lv = jnp.asarray(levels.astype(np.float32))
+    for raw, _ in _iter_chunks(path, chunk_complex):
+        counts += np.asarray(_pass2_chunk(jnp.asarray(raw), lv))
     return counts
 
 
