@@ -186,9 +186,12 @@ def fec_encode(cfg: Dvbt2Config, bbframes: jax.Array) -> jax.Array:
     b = info.shape[0]
     info3 = info.reshape(b, -1, 360).astype(jnp.int8)
     ext = jnp.concatenate([info3, info3], axis=2).reshape(b, -1)  # doubled
-    contrib = jnp.stack(
-        [jax.lax.slice(ext, (0, base), (b, base + 360))
-         for base in p["ldpc_base"]], axis=-1)             # [b, 360, E]
+    # one row gather on the transposed layout: rows are [b] int8 vectors
+    bases = np.asarray(p["ldpc_base"], dtype=np.int32)
+    idx = (bases[:, None] + np.arange(360, dtype=np.int32)[None, :])
+    rows = jnp.take(ext.T, jnp.asarray(idx.reshape(-1)), axis=0)
+    contrib = jnp.transpose(
+        rows.reshape(len(bases), 360, b), (2, 1, 0))       # [b, 360, E]
     pre_rot = jnp.matmul(contrib, jnp.asarray(p["ldpc_sel"]),
                          preferred_element_type=jnp.int32)  # [b, 360, q]
     pre = pre_rot.reshape(b, 360 * q)                      # p = q·r + c
@@ -202,11 +205,16 @@ def interleave_and_map(cfg: Dvbt2Config, fecframes: jax.Array) -> jax.Array:
     p = _plan(cfg)
     v = cfg.constellation.bits_per_symbol
     x = fecframes
-    if p["bit_perm"] is not None:
-        x = x[:, jnp.asarray(p["bit_perm"])]
+    # compose bit interleaver + demux into one permutation, applied as a ROW
+    # gather on the transposed frame (minor-axis gathers relayout per
+    # element on TPU)
     nsub = len(p["dperm"])
-    groups = x.reshape(x.shape[0], -1, nsub)
-    y = groups[:, :, jnp.asarray(p["dperm"])]
+    nbits = x.shape[1]
+    comp = np.arange(nbits, dtype=np.int32)
+    if p["bit_perm"] is not None:
+        comp = np.asarray(p["bit_perm"], dtype=np.int32)[comp]
+    comp = comp.reshape(-1, nsub)[:, np.asarray(p["dperm"])].reshape(-1)
+    y = jnp.take(x.T, jnp.asarray(comp), axis=0).T
     words = jnp.sum(y.reshape(x.shape[0], -1, v).astype(jnp.int32)
                     * jnp.asarray(p["pow2"]), axis=-1)
     cells = jnp.asarray(p["lut"])[words]                   # [blocks, nc, 2]
@@ -222,7 +230,11 @@ def cell_time_interleave(cfg: Dvbt2Config, cells: jax.Array) -> jax.Array:
     per-block cell interleaver, then row-column time interleaver per TI
     block (§6.4-6.5)."""
     p = _plan(cfg)
-    ci = cells[jnp.arange(cells.shape[0])[:, None], jnp.asarray(p["ci_gather"])]
+    nb, ncells0 = cells.shape[0], cells.shape[1]
+    flat_idx = (np.arange(nb, dtype=np.int32)[:, None] * ncells0
+                + p["ci_gather"]).reshape(-1)
+    ci = jnp.take(cells.reshape(-1, 2), jnp.asarray(flat_idx),
+                  axis=0).reshape(nb, ncells0, 2)
     out = []
     start = 0
     ncells = cfg.cells_per_fec_block
