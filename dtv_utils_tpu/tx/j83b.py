@@ -314,18 +314,20 @@ def rrc_interpolate(cells: jax.Array, tail: jax.Array,
     phase over (re, im) as a batch of 2 — the pair layout makes complex
     convolution two float32 convolutions, the native TPU formulation.
     """
+    n = cells.shape[0]
     ext = jnp.concatenate([tail, cells])             # [49 + n, 2]
-    x = ext.T[:, None, :]                            # [2, 1, 49+n]
+    x = ext.T                                        # [2, 49+n]
     outs = []
     for p in range(2):
-        # lax.conv_general_dilated is cross-correlation: y[m] = Σ_j x[m+j]k[j];
-        # true convolution y[m] = Σ_k h[k]·x[m+49−k] needs the kernel flipped.
+        # true convolution y[m] = Σ_k h[k]·x[m+49−k] as a weighted sum of 50
+        # shifted slices — XLA fuses this into a couple of vector passes;
+        # rank-1 lax.conv hits a slow TPU path (~20 ms for this shape).
         hp = taps[p::2][::-1]                        # [50], flipped
-        k = jnp.asarray(hp, jnp.float32)[None, None, :]
-        y = jax.lax.conv_general_dilated(
-            x, k, window_strides=(1,), padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"))  # [2, 1, n]
-        outs.append(y[:, 0, :])
+        y = None
+        for j, h in enumerate(hp.tolist()):
+            term = jax.lax.slice(x, (0, j), (2, j + n)) * jnp.float32(h)
+            y = term if y is None else y + term
+        outs.append(y)                               # [2, n]
     out = jnp.stack(outs, axis=-1).reshape(2, -1)    # [2, 2n] interleaved
     return out.T, ext[-49:]
 
