@@ -42,11 +42,17 @@ def cli(argv: list[str]) -> int:
                    help="parameter profile: blade (default) or bbc")
     p.add_argument("-n", "--frames", default=None, type=int,
                    help="number of T2 frames (default: fit file, cycled)")
+    p.add_argument("--papr", action="store_true",
+                   help="enable tone-reservation PAPR reduction "
+                        "(vclip 3.3, 3 iterations)")
     p.add_argument("infile", metavar="input_file")
     p.add_argument("outfile", metavar="output_file", nargs="?")
     args = p.parse_args(argv)
 
+    import dataclasses
     cfg = PROFILES[args.profile]
+    if args.papr:
+        cfg = dataclasses.replace(cfg, papr_tr=True)
     from dtv_utils_tpu.models.dvbt import load_ts_cycled
     from dtv_utils_tpu.tx import dvbt2 as txt2
 

@@ -436,9 +436,70 @@ def _p1_samples(cfg: Dvbt2Config) -> np.ndarray:
     return np.stack([p1.real, p1.imag], -1).astype(np.float32)
 
 
+TR_CELLS = {1024: 10, 2048: 18, 4096: 36, 8192: 72, 16384: 144, 32768: 288}
+PAPR_VCLIP = 3.3            # dvbt2-blade.py:53
+PAPR_ITERATIONS = 3         # dvbt2-blade.py:54
+
+
+@functools.cache
+def _tr_kernel(cfg: Dvbt2Config) -> tuple[np.ndarray, np.ndarray]:
+    """Tone-reservation reference kernel: the time response of an impulse
+    spread over the reserved carrier set (EN 302 755 §9.6.2 / the
+    dvbt2_paprtr_cc algorithm).  Reserved positions are an annex-H-shaped
+    stand-in set of the exact per-FFT TR cell count (dvbt2rate.c:1108-1196):
+    PARITY-RISK on positions, not on structure."""
+    fft = cfg.fft_size
+    n_tr = TR_CELLS[fft]
+    K = cfg.carriers
+    rng = np.random.default_rng(0x7A9 ^ fft)
+    pos = np.sort(rng.choice(K, size=n_tr, replace=False))  # carrier indices
+    left = (fft - K + 1) // 2
+    full = np.zeros(fft, dtype=np.complex128)
+    full[left + pos] = 1.0
+    kern = np.fft.ifft(np.fft.ifftshift(full))      # peak at sample 0
+    kern /= kern[0].real                            # unit peak
+    return (np.stack([kern.real, kern.imag], -1).astype(np.float32), pos)
+
+
+def papr_reduce_tr(cfg: Dvbt2Config, time_syms: jax.Array) -> jax.Array:
+    """Iterative clip-and-filter tone reservation on the time-domain
+    symbols [lf, fft, 2] (vclip 3.3, 3 iterations — dvbt2-blade.py:53-54).
+
+    Each iteration finds the peak sample of every symbol and, where its
+    magnitude exceeds vclip (relative to RMS), subtracts the circularly
+    shifted unit-peak TR kernel scaled by the excess — energy moves onto
+    the reserved carriers only, so data cells are untouched."""
+    kern_np, _ = _tr_kernel(cfg)
+    kern = jnp.asarray(kern_np)                     # [fft, 2]
+    fft = cfg.fft_size
+
+    def one_iter(x, _):
+        power = x[..., 0] ** 2 + x[..., 1] ** 2     # [lf, fft]
+        rms = jnp.sqrt(jnp.mean(power, axis=1, keepdims=True))
+        m = jnp.argmax(power, axis=1)               # [lf]
+        peak = jnp.take_along_axis(
+            x, m[:, None, None].repeat(2, 2), axis=1)[:, 0]   # [lf, 2]
+        mag = jnp.sqrt(peak[:, 0] ** 2 + peak[:, 1] ** 2)
+        clip = PAPR_VCLIP * rms[:, 0]
+        excess = jnp.maximum(mag - clip, 0.0)
+        scale = jnp.where(mag > 0, excess / jnp.maximum(mag, 1e-30), 0.0)
+        alpha = peak * scale[:, None]               # complex excess [lf, 2]
+        # x -= alpha * roll(kern, m) per symbol (complex multiply on pairs)
+        idx = (jnp.arange(fft)[None, :] - m[:, None]) % fft
+        k = kern[idx]                               # [lf, fft, 2]
+        kr, ki = k[..., 0], k[..., 1]
+        ar, ai = alpha[:, :1], alpha[:, 1:]
+        corr = jnp.stack([ar * kr - ai * ki, ar * ki + ai * kr], axis=-1)
+        return x - corr, None
+
+    x, _ = jax.lax.scan(one_iter, time_syms, None, length=PAPR_ITERATIONS)
+    return x
+
+
 def grid_to_iq(cfg: Dvbt2Config, grid: jax.Array) -> jax.Array:
     """Carrier grid [L_F, K, 2] -> one T2 frame of IQ pairs
-    [2048 + L_F*(fft+gi), 2]: centered IFFT, cyclic prefix, P1 prepend."""
+    [2048 + L_F*(fft+gi), 2]: centered IFFT, [tone-reservation PAPR,]
+    cyclic prefix, P1 prepend."""
     from dtv_utils_tpu.ops.cfft import ifft_pairs, ifftshift_pairs
     fft = cfg.fft_size
     gi = cfg.guard_samples
@@ -448,6 +509,8 @@ def grid_to_iq(cfg: Dvbt2Config, grid: jax.Array) -> jax.Array:
     spec = jnp.zeros((lf, fft, 2), dtype=jnp.float32)
     spec = spec.at[:, left:left + K].set(grid)
     time = ifft_pairs(ifftshift_pairs(spec))       # unnormalized reverse
+    if cfg.papr_tr:
+        time = papr_reduce_tr(cfg, time)
     sym = jnp.concatenate([time[:, fft - gi:], time], axis=1)
     body = sym.reshape(-1, 2) * (OUTPUT_SCALE / np.sqrt(fft))
     p1 = jnp.asarray(_p1_samples(cfg)) * OUTPUT_SCALE

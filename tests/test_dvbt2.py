@@ -168,3 +168,26 @@ def test_pilot_grid_structure():
     for l in (0, cfg.n_p2, cfg.frame_symbols - 1):
         idx = fp["data_idx"][l, :fp["data_cnt"][l]]
         assert np.all(grid[l, idx] == 0)
+
+
+def test_tone_reservation_reduces_papr():
+    import dataclasses
+    import jax.numpy as jnp
+    from dtv_utils_tpu.core.config import Dvbt2Config
+    from dtv_utils_tpu.tx import dvbt2 as t2
+
+    cfg_off = Dvbt2Config(papr_tr=False)
+    cfg_on = dataclasses.replace(cfg_off, papr_tr=True)
+    rng = np.random.default_rng(7)
+    ts = rng.integers(0, 256, cfg_off.payload_bytes_per_frame,
+                      dtype=np.uint8)
+    ts[::188] = 0x47
+
+    def papr_db(cfg):
+        iq, _ = t2.modulate_frame(cfg, jnp.asarray(ts), t2.init_state(cfg))
+        iq = np.asarray(iq)[2048:]              # skip the P1 preamble
+        p = iq[:, 0] ** 2 + iq[:, 1] ** 2
+        return 10 * np.log10(p.max() / p.mean())
+
+    off, on = papr_db(cfg_off), papr_db(cfg_on)
+    assert on < off - 0.5, (off, on)            # TR must clip the peaks
