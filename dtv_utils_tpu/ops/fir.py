@@ -1,0 +1,92 @@
+"""Polyphase interpolate-by-2 FIR — Pallas TPU kernel.
+
+The J.83B RRC pulse shaper (SURVEY.md §7 step 5: "RRC interpolate-by-2 as
+overlap-save polyphase conv (Pallas kernel)").  Each grid step loads one
+input tile plus a HALO-sample halo into VMEM and runs both phase FIRs as
+in-register shifted multiply-adds — one HBM read of the input and one write
+of the output, where the XLA shifted-slice formulation re-streams the input
+per fusion group.
+
+Layout: time runs along lanes ([2, L] re/im rows).  The halo comes from a
+second, TILE-shifted view of the same array whose (2, HALO) blocks stride
+TILE lanes — aligned blocks, no overlapping BlockSpecs.  Taps are static
+Python floats baked into the kernel.  Falls back to interpreter mode
+off-TPU (CPU tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HALO = 128           # lane width (min lane-divisible size ≥ ntaps//2-1 = 49)
+TILE = 16384         # lanes per grid step (x2 rows x f32 ≈ 128 KB in VMEM)
+
+
+def _kernel(x_ref, xs_ref, out_ref, *, taps0, taps1, tile):
+    """One tile: out[p, :, m] = Σ_j taps_p[j] · xcat[:, m + j].
+
+    x_ref  [2, tile]      — this tile's input samples
+    xs_ref [2, HALO]      — the next tile's first HALO samples (halo)
+    out_ref [2, 2, tile]  — (phase, re/im, time)
+    """
+    xcat = jnp.concatenate([x_ref[:, :], xs_ref[:, :]], axis=1)
+    for p, taps in ((0, taps0), (1, taps1)):
+        acc = xcat[:, 0:tile] * taps[0]
+        for j in range(1, len(taps)):
+            acc = acc + xcat[:, j:j + tile] * taps[j]
+        out_ref[p, :, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("taps0", "taps1", "n_pad"))
+def _interp2(x_padded: jax.Array, taps0: tuple, taps1: tuple,
+             n_pad: int) -> jax.Array:
+    n_tiles = n_pad // TILE
+    x_main = x_padded[:, :n_pad]
+    x_shift = x_padded[:, TILE:TILE + n_pad]
+
+    kern = functools.partial(_kernel, taps0=taps0, taps1=taps1, tile=TILE)
+    return pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((2, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, HALO), lambda i: (0, i * (TILE // HALO)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, 2, TILE), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, 2, n_pad), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(x_main, x_shift)
+
+
+def pallas_enabled() -> bool:
+    """The Pallas FIR is opt-in on TPU (DTV_PALLAS_FIR=1): the current
+    remote-tunnel deployment's AOT compile helper builds small Mosaic
+    kernels but crashes on the 50-tap unrolled FIR (subprocess exit 1) —
+    an infrastructure limit, not a kernel error (the kernel is validated
+    against the XLA formulation in interpret mode by the test suite).  On
+    directly-attached TPU hosts set DTV_PALLAS_FIR=1."""
+    import os
+    return os.environ.get("DTV_PALLAS_FIR", "0") == "1"
+
+
+def polyphase_interp2(ext_rows: jax.Array, taps: np.ndarray,
+                      n: int) -> jax.Array:
+    """ext_rows [2, hist + n] (hist = ntaps//2 - 1 history samples) →
+    phase-interleaved output [2, 2n]: out[:, 2m+p] = Σ_j h_p[j]·ext[:, m+j]
+    with h_p = taps[p::2] reversed (true convolution)."""
+    taps0 = tuple(float(v) for v in taps[0::2][::-1])
+    taps1 = tuple(float(v) for v in taps[1::2][::-1])
+    n_pad = -(-n // TILE) * TILE
+    total = n_pad + TILE                    # room for the shifted halo view
+    x_padded = jnp.pad(ext_rows, ((0, 0), (0, total - ext_rows.shape[1])))
+    y = _interp2(x_padded, taps0, taps1, n_pad)      # [2(p), 2(c), n_pad]
+    return jnp.transpose(y, (1, 2, 0)).reshape(2, 2 * n_pad)[:, :2 * n]

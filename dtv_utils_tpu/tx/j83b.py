@@ -317,19 +317,27 @@ def rrc_interpolate(cells: jax.Array, tail: jax.Array,
     n = cells.shape[0]
     ext = jnp.concatenate([tail, cells])             # [49 + n, 2]
     x = ext.T                                        # [2, 49+n]
+    from dtv_utils_tpu.ops.fir import pallas_enabled, polyphase_interp2
+    if jax.default_backend() == "tpu" and pallas_enabled():
+        # Pallas overlap-save kernel: one HBM read + one write per sample
+        out = polyphase_interp2(x, taps, n)          # [2, 2n]
+    else:
+        out = _interp2_slices(x, taps, n)
+    return out.T, ext[-49:]
+
+
+def _interp2_slices(x: jax.Array, taps: np.ndarray, n: int) -> jax.Array:
+    """XLA formulation: weighted sum of 50 shifted slices per phase (the
+    rank-1 lax.conv path is ~20 ms for this shape on TPU)."""
     outs = []
     for p in range(2):
-        # true convolution y[m] = Σ_k h[k]·x[m+49−k] as a weighted sum of 50
-        # shifted slices — XLA fuses this into a couple of vector passes;
-        # rank-1 lax.conv hits a slow TPU path (~20 ms for this shape).
         hp = taps[p::2][::-1]                        # [50], flipped
         y = None
         for j, h in enumerate(hp.tolist()):
             term = jax.lax.slice(x, (0, j), (2, j + n)) * jnp.float32(h)
             y = term if y is None else y + term
         outs.append(y)                               # [2, n]
-    out = jnp.stack(outs, axis=-1).reshape(2, -1)    # [2, 2n] interleaved
-    return out.T, ext[-49:]
+    return jnp.stack(outs, axis=-1).reshape(2, -1)   # [2, 2n] interleaved
 
 
 # ---------------------------------------------------------------------------

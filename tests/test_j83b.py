@@ -115,3 +115,21 @@ def test_modulate_stream_shapes():
     assert iq.dtype == np.complex64
     # output rate identity: 2 samples/symbol at 5.056941 Mbaud
     assert float(cfg.sample_rate) == pytest.approx(10_113_882.0)
+
+
+def test_pallas_fir_matches_slice_formulation():
+    """The Pallas overlap-save kernel (interpret mode on CPU) must agree
+    with the XLA shifted-slice FIR to f32 last-ulp (XLA fuses the slice
+    formulation with FMAs; the grouping differs)."""
+    import jax.numpy as jnp
+    from dtv_utils_tpu.tx.j83b import J83bConfig, rrc_taps, _interp2_slices
+    from dtv_utils_tpu.ops.fir import polyphase_interp2
+
+    cfg = J83bConfig()
+    taps = rrc_taps(cfg)
+    rng = np.random.default_rng(3)
+    n = 40000                                       # not a tile multiple
+    x = jnp.asarray(rng.standard_normal((2, 49 + n)).astype(np.float32))
+    a = np.asarray(_interp2_slices(x, taps, n))
+    b = np.asarray(polyphase_interp2(x, taps, n))
+    np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-6)
