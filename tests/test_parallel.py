@@ -57,3 +57,29 @@ def test_sharded_equals_sequential_8dev():
                             in_sharding)
     got = cplx.to_np(np.asarray(run(ts_dev)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_batched_equals_sequential():
+    from dtv_utils_tpu.parallel.stream import (HALO_PACKETS,
+                                               batched_dvbt_modulator)
+    n_blocks = 4
+    ts = _ts_blocks(n_blocks, seed=9)
+    blk = CFG.ts_bytes_per_superframe
+
+    want, _ = txd.modulate_stream(CFG, ts)
+    want = want.reshape(n_blocks, -1)
+
+    fn = batched_dvbt_modulator(CFG)
+    iq = fn(jnp.asarray(ts.reshape(n_blocks, blk)),
+            jnp.zeros(HALO_PACKETS * 188, jnp.uint8), jnp.int32(0))
+    got = cplx.to_np(np.asarray(iq)).reshape(n_blocks, -1)
+    np.testing.assert_array_equal(got, want)
+
+    # continuation: second batch starting mid-stream
+    ts2 = _ts_blocks(2, seed=10)
+    want2, _ = txd.modulate_stream(CFG, np.concatenate([ts, ts2]))
+    want2 = want2.reshape(n_blocks + 2, -1)[n_blocks:]
+    iq2 = fn(jnp.asarray(ts2.reshape(2, blk)),
+             jnp.asarray(ts[-HALO_PACKETS * 188:]), jnp.int32(n_blocks))
+    got2 = cplx.to_np(np.asarray(iq2)).reshape(2, -1)
+    np.testing.assert_array_equal(got2, want2)
