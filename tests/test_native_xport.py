@@ -107,3 +107,37 @@ def test_xport_usage():
     proc = native.run("xport", [], capture_output=True)
     assert proc.returncode == 255
     assert b"xport Transport Stream Demuxer 1.1" in proc.stderr
+
+
+def test_xport_force_mode(ref_xport, tmp_path):
+    """-f: PIDs and video stream type forced from hex argv (xport.c:221-230)."""
+    ts = tmp_path / "in.ts"
+    ts.write_bytes(ts_gen.make_av_ts(video="mpeg2", audio="ac3"))
+    args = ["-fs", str(ts), "31", "34", "2"]   # hex video pid/audio pid/type
+    ours, our_files = run_in(tmp_path / "ours", native.tool_path("xport"),
+                             args)
+    assert ours.returncode == 0, ours.stderr
+    if ref_xport is not None:
+        theirs, ref_files = run_in(tmp_path / "ref", ref_xport, args)
+        assert ours.stdout.decode() == theirs.stdout.decode()
+        assert our_files == ref_files
+        (GOLDEN / "xport_force_mode.txt").write_bytes(theirs.stdout)
+    else:
+        assert ours.stdout == (GOLDEN / "xport_force_mode.txt").read_bytes()
+
+
+def test_xport_hdmv_arrival_stamps(ref_xport, tmp_path):
+    """-he: HDMV 192-byte packets with arrival_time_stamp delta dump."""
+    ts = tmp_path / "in.m2ts"
+    ts.write_bytes(ts_gen.make_av_ts(video="h264", audio="lpcm", hdmv=True))
+    args = ["-hes", str(ts), "1", "1", "1"]
+    ours, our_files = run_in(tmp_path / "ours", native.tool_path("xport"),
+                             args)
+    assert ours.returncode == 0, ours.stderr
+    if ref_xport is not None:
+        theirs, ref_files = run_in(tmp_path / "ref", ref_xport, args)
+        assert ours.stdout.decode() == theirs.stdout.decode()
+        assert our_files == ref_files
+        (GOLDEN / "xport_hdmv_extra.txt").write_bytes(theirs.stdout)
+    else:
+        assert ours.stdout == (GOLDEN / "xport_hdmv_extra.txt").read_bytes()
