@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", "--superframes", default=None, type=int,
                    help="number of superframes to emit "
                         "(default: ceil(file/superframe), input cycled).")
+    p.add_argument("--load-state", default=None, metavar="NPZ",
+                   help="resume a long stream from a saved chain state.")
+    p.add_argument("--save-state", default=None, metavar="NPZ",
+                   help="checkpoint the chain state after modulating.")
     p.add_argument("infile", metavar="input-file", help="Input TS file")
     return p
 
@@ -98,7 +102,15 @@ def cli(argv: list[str]) -> int:
     from dtv_utils_tpu.tx import dvbt as txd
     ts = load_ts_cycled(args.infile, cfg.ts_bytes_per_superframe,
                         args.superframes)
-    iq, _state = txd.modulate_stream(cfg, ts)
+    state = None
+    if args.load_state:
+        from dtv_utils_tpu.utils import checkpoint
+        state = checkpoint.load_state(args.load_state, txd.init_state(cfg),
+                                      kind="dvbt")
+    iq, state = txd.modulate_stream(cfg, ts, state=state)
+    if args.save_state:
+        from dtv_utils_tpu.utils import checkpoint
+        checkpoint.save_state(args.save_state, state, kind="dvbt")
     sys.stderr.write(
         f"dvbt-mod: {ts.size} TS bytes -> {iq.size} IQ samples @ "
         f"{float(cfg.sample_rate)/1e6:.6f} Msps\n")

@@ -1,0 +1,92 @@
+"""Metrics duality + checkpoint/resume exactness."""
+
+import io
+import json
+
+import numpy as np
+
+from dtv_utils_tpu.core.config import (Constellation, CodeRate, DvbtConfig,
+                                       GuardInterval, TransmissionMode)
+from dtv_utils_tpu.tx import dvbt as txd
+from dtv_utils_tpu.utils import checkpoint, metrics
+
+CFG = DvbtConfig(mode=TransmissionMode.M2K, bandwidth_mhz=6,
+                 constellation=Constellation.QPSK,
+                 code_rate=CodeRate.R1_2, guard=GuardInterval.G1_4)
+
+
+def test_metrics_json_and_human():
+    m = metrics.Metrics()
+    m.json_out = io.StringIO()
+    m.human_out = io.StringIO()
+    m.emit("ts_rate", 31.668449, unit="Mbps", config="8MHz 64QAM 7/8")
+    rec = json.loads(m.json_out.getvalue())
+    assert rec == {"metric": "ts_rate", "value": 31.668449, "unit": "Mbps",
+                   "config": "8MHz 64QAM 7/8"}
+    assert "ts_rate = 31.668449 Mbps" in m.human_out.getvalue()
+    m2 = metrics.Metrics(suppress_human=True)
+    m2.json_out = io.StringIO()
+    m2.human_out = io.StringIO()
+    m2.emit("x", 1)
+    assert m2.human_out.getvalue() == ""
+
+
+def test_checkpoint_resume_mid_stream(tmp_path):
+    blk = CFG.ts_bytes_per_superframe
+    rng = np.random.default_rng(2)
+    ts = rng.integers(0, 256, 4 * blk, dtype=np.uint8)
+    ts[::188] = 0x47
+
+    want, _ = txd.modulate_stream(CFG, ts)
+
+    # run 2 blocks, checkpoint, "restart", resume for 2 more
+    got1, state = txd.modulate_stream(CFG, ts[:2 * blk])
+    path = str(tmp_path / "state.npz")
+    checkpoint.save_state(path, state, kind="dvbt")
+    resumed = checkpoint.load_state(path, txd.init_state(CFG), kind="dvbt")
+    got2, _ = txd.modulate_stream(CFG, ts[2 * blk:], state=resumed)
+    got = np.concatenate([got1, got2])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_checkpoint_rejects_mismatches(tmp_path):
+    import pytest
+    state = txd.init_state(CFG)
+    path = str(tmp_path / "state.npz")
+    checkpoint.save_state(path, state, kind="dvbt")
+    with pytest.raises(ValueError, match="kind"):
+        checkpoint.load_state(path, state, kind="dvbt2")
+
+
+def test_cli_resume_matches_oneshot(tmp_path):
+    """dvbt-mod --save-state / --load-state splices a stream exactly."""
+    import subprocess
+    import sys
+    blk = CFG.ts_bytes_per_superframe
+    rng = np.random.default_rng(4)
+    ts = rng.integers(0, 256, 2 * blk, dtype=np.uint8)
+    ts[::188] = 0x47
+    (tmp_path / "a.ts").write_bytes(ts[:blk].tobytes())
+    (tmp_path / "b.ts").write_bytes(ts[blk:].tobytes())
+    (tmp_path / "ab.ts").write_bytes(ts.tobytes())
+    env_args = ["-m", "t2k", "-c", "6", "-C", "qpsk", "-r", "1/2",
+                "-g", "1/4"]
+
+    import os
+    import pathlib
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(pathlib.Path(__file__).resolve().parents[1])
+
+    def run(*extra):
+        r = subprocess.run(
+            [sys.executable, "-m", "dtv_utils_tpu.cli", "dvbt-mod",
+             *env_args, *extra], capture_output=True, cwd=tmp_path, env=env)
+        assert r.returncode == 0, r.stderr.decode()
+
+    run("-o", "full.iq", str(tmp_path / "ab.ts"))
+    run("-o", "p1.iq", "--save-state", "st.npz", str(tmp_path / "a.ts"))
+    run("-o", "p2.iq", "--load-state", "st.npz", str(tmp_path / "b.ts"))
+    full = (tmp_path / "full.iq").read_bytes()
+    spliced = (tmp_path / "p1.iq").read_bytes() + \
+        (tmp_path / "p2.iq").read_bytes()
+    assert full == spliced
