@@ -136,6 +136,52 @@ def sharded_dvbt_modulator(cfg: DvbtConfig, mesh: Mesh, axis: str = "seq"):
     return run, in_sharding
 
 
+def sharded_dvbt2_modulator(cfg, mesh: Mesh, axis: str = "seq"):
+    """DVB-T2 sequence sharding: frame i on device i mod N.
+
+    The T2 chain's stream state is only {packet_phase, prev_tail[187]} —
+    the CRC-8 window into the previous frame's raw bytes — so the shard
+    halo is a one-hop ppermute of 187 raw bytes and everything else is
+    embarrassingly parallel.  Returns (jit fn [n_frames, payload_bytes] →
+    [n_frames, samples, 2], input sharding).
+    """
+    from dtv_utils_tpu.tx import dvbt2 as txt2
+    n_dev = mesh.shape[axis]
+    blk = cfg.payload_bytes_per_frame
+
+    def local_fn(ts_local: jax.Array) -> jax.Array:
+        L = ts_local.shape[0]
+        d = jax.lax.axis_index(axis)
+        my_last_tail = ts_local[-1, -187:]
+        prev_tail0 = jax.lax.ppermute(
+            my_last_tail, axis,
+            [(i, (i + 1) % n_dev) for i in range(n_dev)])
+        prev_tails = jnp.concatenate(
+            [prev_tail0[None], ts_local[:-1, -187:]], axis=0)
+        global_idx = d * L + jnp.arange(L, dtype=jnp.int32)
+        phases = (global_idx * blk) % 188
+        is_first = (global_idx == 0)
+        prev_tails = jnp.where(is_first[:, None],
+                               jnp.zeros_like(prev_tails), prev_tails)
+
+        def one(ts_i, phase_i, tail_i):
+            st = txt2.Dvbt2State(packet_phase=phase_i, prev_tail=tail_i)
+            iq, _ = txt2.modulate_frame(cfg, ts_i, st)
+            return iq
+        return jax.vmap(one)(ts_local, phases, prev_tails)
+
+    sharded = jax.shard_map(local_fn, mesh=mesh,
+                            in_specs=P(axis, None), out_specs=P(axis, None))
+
+    @jax.jit
+    def run(ts_frames: jax.Array) -> jax.Array:
+        assert ts_frames.shape[0] % n_dev == 0
+        assert ts_frames.shape[1] == blk
+        return sharded(ts_frames)
+
+    return run, NamedSharding(mesh, P(axis, None))
+
+
 def batched_dvbt_modulator(cfg: DvbtConfig):
     """Single-device batched modulator: the same carry-derivation trick used
     for sequence sharding, applied to a batch of consecutive superframes in

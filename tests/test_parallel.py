@@ -83,3 +83,26 @@ def test_batched_equals_sequential():
              jnp.asarray(ts[-HALO_PACKETS * 188:]), jnp.int32(n_blocks))
     got2 = cplx.to_np(np.asarray(iq2)).reshape(2, -1)
     np.testing.assert_array_equal(got2, want2)
+
+
+def test_sharded_dvbt2_equals_sequential():
+    from dtv_utils_tpu.core.config import Dvbt2Config
+    from dtv_utils_tpu.parallel.stream import sharded_dvbt2_modulator
+    from dtv_utils_tpu.tx import dvbt2 as txt2
+
+    cfg = Dvbt2Config()                          # 4K blade profile
+    blk = cfg.payload_bytes_per_frame
+    n_frames = 8
+    rng = np.random.default_rng(11)
+    ts = rng.integers(0, 256, n_frames * blk, dtype=np.uint8)
+    ts[::188] = 0x47
+
+    want, _ = txt2.modulate_stream(cfg, ts)
+    want = want.reshape(n_frames, -1)
+
+    mesh = make_mesh()
+    run, in_sharding = sharded_dvbt2_modulator(cfg, mesh)
+    ts_dev = jax.device_put(jnp.asarray(ts.reshape(n_frames, blk)),
+                            in_sharding)
+    got = cplx.to_np(np.asarray(run(ts_dev)))
+    np.testing.assert_array_equal(got, want)
