@@ -28,12 +28,13 @@ def _power_f32(i: jax.Array, q: jax.Array) -> jax.Array:
 
     The reference computes float32 mul, float32 mul, float32 add
     (papr.c:103); XLA would otherwise fuse this into an FMA whose different
-    rounding flips last-ulp peak values.  An optimization barrier between
-    the products and the add blocks the fusion at zero cost (the earlier
-    f64-roundtrip variant hit TPU float64 EMULATION — ~100x slower).
+    rounding flips last-ulp peak values.  BOTH products go through the
+    optimization barrier — barriering only one would still let XLA contract
+    the other into fma(q, q, ii).  Zero cost (the earlier f64-roundtrip
+    variant hit TPU float64 EMULATION — ~100x slower).
     """
-    ii = jax.lax.optimization_barrier(i * i)
-    return ii + q * q
+    ii, qq = jax.lax.optimization_barrier((i * i, q * q))
+    return ii + qq
 
 
 @functools.partial(jax.jit, static_argnames=())

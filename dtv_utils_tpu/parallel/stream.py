@@ -2,7 +2,8 @@
 
 The reference has no distributed execution at all (SURVEY.md §2.2: no
 MPI/NCCL anywhere; GNU Radio gives it single-host pipeline threading).  The
-TPU design shards the *time axis*: superframe i goes to device i mod N, and
+TPU design shards the *time axis* in contiguous blocks (device d holds
+superframes [d*L, (d+1)*L)), and
 the chain's tiny streaming state is NOT passed sequentially — every element
 of ``DvbtState`` is a pure function of the previous block's raw TS bytes:
 
@@ -137,7 +138,9 @@ def sharded_dvbt_modulator(cfg: DvbtConfig, mesh: Mesh, axis: str = "seq"):
 
 
 def sharded_dvbt2_modulator(cfg, mesh: Mesh, axis: str = "seq"):
-    """DVB-T2 sequence sharding: frame i on device i mod N.
+    """DVB-T2 sequence sharding, contiguous-block layout: device d holds
+    frames [d*L, (d+1)*L) (same P(axis, None) block sharding as
+    sharded_dvbt_modulator — NOT round-robin).
 
     The T2 chain's stream state is only {packet_phase, prev_tail[187]} —
     the CRC-8 window into the previous frame's raw bytes — so the shard

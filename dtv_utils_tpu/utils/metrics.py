@@ -12,14 +12,18 @@ from __future__ import annotations
 import json
 import sys
 import time
+import typing
 from dataclasses import dataclass, field
 
 
 @dataclass
 class Metrics:
     """Emit {"metric": name, "value": v, "unit": u, ...} JSON lines."""
-    json_out = sys.stdout
-    human_out = sys.stderr
+    # real dataclass fields (annotated) so sinks are per-instance
+    # constructor-configurable; default_factory defers the sys.std* lookup
+    # to construction time, keeping stdout/stderr redirects working.
+    json_out: typing.TextIO = field(default_factory=lambda: sys.stdout)
+    human_out: typing.TextIO = field(default_factory=lambda: sys.stderr)
     suppress_human: bool = False
     _t0: float = field(default_factory=time.perf_counter)
 

@@ -15,6 +15,15 @@ CFG = DvbtConfig(mode=TransmissionMode.M2K, bandwidth_mhz=6,
                  code_rate=CodeRate.R1_2, guard=GuardInterval.G1_4)
 
 
+def test_metrics_sinks_constructor_configurable():
+    # json_out/human_out are real dataclass fields: per-instance via __init__
+    jo, ho = io.StringIO(), io.StringIO()
+    m = metrics.Metrics(json_out=jo, human_out=ho)
+    m.emit("x", 2, unit="u")
+    assert json.loads(jo.getvalue())["value"] == 2
+    assert "x = 2 u" in ho.getvalue()
+
+
 def test_metrics_json_and_human():
     m = metrics.Metrics()
     m.json_out = io.StringIO()
