@@ -442,23 +442,27 @@ PAPR_ITERATIONS = 3         # dvbt2-blade.py:54
 
 
 @functools.cache
-def _tr_kernel(cfg: Dvbt2Config) -> tuple[np.ndarray, np.ndarray]:
-    """Tone-reservation reference kernel: the time response of an impulse
-    spread over the reserved carrier set (EN 302 755 §9.6.2 / the
-    dvbt2_paprtr_cc algorithm).  Reserved positions are an annex-H-shaped
-    stand-in set of the exact per-FFT TR cell count (dvbt2rate.c:1108-1196):
-    PARITY-RISK on positions, not on structure."""
+def _tr_kernel(cfg: Dvbt2Config) -> np.ndarray:
+    """Tone-reservation reference kernels [2, fft, 2]: the time responses of
+    an impulse spread over the reserved carrier sets (EN 302 755 §9.6.2 /
+    the dvbt2_paprtr_cc algorithm) — row 0 for P2 symbols (tr_p2 set), row 1
+    for data/FC symbols (tr_data set).  The sets are the SAME carriers that
+    frame_plan excludes from data cells, so the correction energy only ever
+    lands on cells a receiver skips.  Positions are annex-H-shaped stand-ins
+    of the exact per-FFT TR cell count (dvbt2rate.c:1108-1196): PARITY-RISK
+    on positions, not on structure."""
     fft = cfg.fft_size
-    n_tr = TR_CELLS[fft]
     K = cfg.carriers
-    rng = np.random.default_rng(0x7A9 ^ fft)
-    pos = np.sort(rng.choice(K, size=n_tr, replace=False))  # carrier indices
+    fp = T.frame_plan(cfg)
     left = (fft - K + 1) // 2
-    full = np.zeros(fft, dtype=np.complex128)
-    full[left + pos] = 1.0
-    kern = np.fft.ifft(np.fft.ifftshift(full))      # peak at sample 0
-    kern /= kern[0].real                            # unit peak
-    return (np.stack([kern.real, kern.imag], -1).astype(np.float32), pos)
+    kerns = []
+    for pos in (fp["tr_p2"], fp["tr_data"]):
+        full = np.zeros(fft, dtype=np.complex128)
+        full[left + np.asarray(pos)] = 1.0
+        kern = np.fft.ifft(np.fft.ifftshift(full))  # peak at sample 0
+        kern /= kern[0].real                        # unit peak
+        kerns.append(np.stack([kern.real, kern.imag], -1))
+    return np.stack(kerns).astype(np.float32)
 
 
 def papr_reduce_tr(cfg: Dvbt2Config, time_syms: jax.Array) -> jax.Array:
@@ -467,11 +471,14 @@ def papr_reduce_tr(cfg: Dvbt2Config, time_syms: jax.Array) -> jax.Array:
 
     Each iteration finds the peak sample of every symbol and, where its
     magnitude exceeds vclip (relative to RMS), subtracts the circularly
-    shifted unit-peak TR kernel scaled by the excess — energy moves onto
-    the reserved carriers only, so data cells are untouched."""
-    kern_np, _ = _tr_kernel(cfg)
-    kern = jnp.asarray(kern_np)                     # [fft, 2]
+    shifted unit-peak TR kernel scaled by the excess — energy moves onto the
+    symbol's reserved carriers only (P2 symbols use the tr_p2 kernel, data
+    symbols tr_data), so data cells are untouched (verified by the
+    round-trip FFT check in tests/test_dvbt2.py)."""
+    kern = jnp.asarray(_tr_kernel(cfg))             # [2, fft, 2]
     fft = cfg.fft_size
+    lf = time_syms.shape[0]
+    kind = (jnp.arange(lf) >= cfg.n_p2).astype(jnp.int32)   # 0=P2, 1=data
 
     def one_iter(x, _):
         power = x[..., 0] ** 2 + x[..., 1] ** 2     # [lf, fft]
@@ -484,9 +491,9 @@ def papr_reduce_tr(cfg: Dvbt2Config, time_syms: jax.Array) -> jax.Array:
         excess = jnp.maximum(mag - clip, 0.0)
         scale = jnp.where(mag > 0, excess / jnp.maximum(mag, 1e-30), 0.0)
         alpha = peak * scale[:, None]               # complex excess [lf, 2]
-        # x -= alpha * roll(kern, m) per symbol (complex multiply on pairs)
+        # x -= alpha * roll(kern[kind], m) per symbol (complex mul on pairs)
         idx = (jnp.arange(fft)[None, :] - m[:, None]) % fft
-        k = kern[idx]                               # [lf, fft, 2]
+        k = kern[kind[:, None], idx]                # [lf, fft, 2]
         kr, ki = k[..., 0], k[..., 1]
         ar, ai = alpha[:, :1], alpha[:, 1:]
         corr = jnp.stack([ar * kr - ai * ki, ar * ki + ai * kr], axis=-1)

@@ -364,6 +364,27 @@ def frame_plan(cfg: Dvbt2Config):
     p2_nonpilot = np.asarray([k for k in range(K) if k % p2_mod != 0])
     tr_p2 = p2_nonpilot[:: max(len(p2_nonpilot) // n_tr, 1)][:n_tr]
 
+    # TR reservation on data/FC symbols (§9.6.2 / annex H): when PAPR TR is
+    # active the cell budget loses TR_CELLS per data and FC symbol (exactly
+    # dvbt2rate's budget_papr, rates/dvbt2.py:193-199) and the TR carriers
+    # are excluded from data on EVERY symbol, so the correction energy that
+    # papr_reduce_tr injects lands only on cells a receiver skips.  Stand-in
+    # positions (annex H values unavailable: PARITY-RISK): residues mod dx
+    # != 0 so the set never collides with a scattered pilot at any symbol
+    # phase, and the continual-pilot/edge carriers are excluded.
+    if cfg.papr_tr:
+        cp_lookup = set(cp_set.tolist())
+        cand = np.asarray([k for k in range(7, K - 7)
+                           if k % dx != 0 and k not in cp_lookup])
+        # pseudo-random (not strided): an evenly spaced set would make the
+        # TR kernel a picket-fence impulse train that creates new peaks
+        tr_rng = np.random.default_rng(0x7A9 ^ cfg.fft_size)
+        tr_data = np.sort(tr_rng.choice(cand, size=n_tr, replace=False))
+        assert len(set(tr_data.tolist())) == n_tr
+    else:
+        tr_data = np.empty(0, dtype=np.int64)
+    tr_lookup = set(tr_data.tolist())
+
     data_rows, cnts = [], []
     sp_rows, sp_cnts = [], []
     for l in range(lf):
@@ -382,7 +403,9 @@ def frame_plan(cfg: Dvbt2Config):
                 ph = (l - n_p2) % dy  # scattered phase advances per symbol
                 sp_pos = set(range((dx * ph) % (dx * dy), K, dx * dy))
                 target = c_data
-            pil = sp_pos | {0, K - 1} | set(cp_set.tolist())
+            if cfg.papr_tr:
+                target -= n_tr               # budget_papr operating point
+            pil = sp_pos | {0, K - 1} | set(cp_set.tolist()) | tr_lookup
             data = [k for k in range(K) if k not in pil]
             sp = np.asarray(sorted(sp_pos | {0, K - 1}), dtype=np.int64)
         assert len(data) >= target, (l, len(data), target)
@@ -414,6 +437,8 @@ def frame_plan(cfg: Dvbt2Config):
                 sp_idx=sp_idx, sp_valid=sp_valid, amp=amp,
                 pilot_sign=pilot_sign.astype(np.float32),
                 cp_set=cp_set.astype(np.int32),
+                tr_data=tr_data.astype(np.int32),
+                tr_p2=tr_p2.astype(np.int32),
                 budget=(c_p2, c_data, n_fc, c_fc, fc))
 
 

@@ -171,23 +171,82 @@ def test_pilot_grid_structure():
 
 
 def test_tone_reservation_reduces_papr():
-    import dataclasses
-    import jax.numpy as jnp
-    from dtv_utils_tpu.core.config import Dvbt2Config
-    from dtv_utils_tpu.tx import dvbt2 as t2
+    """Same carrier grid, with vs without the TR pass: the pass must lower
+    the frame PAPR (the budgets differ between papr_tr on/off, so comparing
+    two different frames would not isolate the TR algorithm)."""
+    from dtv_utils_tpu.ops.cfft import ifft_pairs, ifftshift_pairs
 
-    cfg_off = Dvbt2Config(papr_tr=False)
-    cfg_on = dataclasses.replace(cfg_off, papr_tr=True)
+    cfg = Dvbt2Config(papr_tr=True)
     rng = np.random.default_rng(7)
-    ts = rng.integers(0, 256, cfg_off.payload_bytes_per_frame,
-                      dtype=np.uint8)
+    ts = rng.integers(0, 256, cfg.payload_bytes_per_frame, dtype=np.uint8)
     ts[::188] = 0x47
 
-    def papr_db(cfg):
-        iq, _ = t2.modulate_frame(cfg, jnp.asarray(ts), t2.init_state(cfg))
-        iq = np.asarray(iq)[2048:]              # skip the P1 preamble
-        p = iq[:, 0] ** 2 + iq[:, 1] ** 2
+    cells, _ = t2.payload_cells(cfg, jnp.asarray(ts), t2.init_state(cfg))
+    grid = t2.build_frame_grid(cfg, cells)
+    fft, K = cfg.fft_size, cfg.carriers
+    left = (fft - K + 1) // 2
+    spec = jnp.zeros((grid.shape[0], fft, 2), dtype=jnp.float32)
+    spec = spec.at[:, left:left + K].set(grid)
+    time = ifft_pairs(ifftshift_pairs(spec))
+
+    def papr_db(x):
+        x = np.asarray(x)
+        p = x[..., 0] ** 2 + x[..., 1] ** 2
         return 10 * np.log10(p.max() / p.mean())
 
-    off, on = papr_db(cfg_off), papr_db(cfg_on)
-    assert on < off - 0.5, (off, on)            # TR must clip the peaks
+    before = papr_db(time)
+    after = papr_db(t2.papr_reduce_tr(cfg, time))
+    assert after < before - 0.5, (before, after)  # TR must clip the peaks
+
+
+def test_tone_reservation_preserves_data_cells():
+    """The TR correction must land ONLY on the reserved carriers: demodulate
+    the papr_tr output (strip P1, drop CP, forward FFT) and check every
+    data/pilot carrier still matches the pre-TR frequency grid, while the
+    budget per data symbol is the rate oracle's PAPR operating point."""
+    import dataclasses
+    cfg = Dvbt2Config(papr_tr=True)
+    fp = T.frame_plan(cfg)
+    from dtv_utils_tpu.rates.dvbt2 import TR_CELLS
+    n_tr = TR_CELLS[cfg.fft_size]
+    c_p2, c_data, n_fc, c_fc, fc = fp["budget"]
+    # budget_papr operating point on data symbols
+    assert fp["data_cnt"][cfg.n_p2] == c_data - n_tr
+    if fc:
+        assert fp["data_cnt"][cfg.frame_symbols - 1] == c_fc - n_tr
+    # TR carriers are excluded from the data map on every symbol
+    tr_all = set(fp["tr_data"].tolist())
+    for l in range(cfg.n_p2, cfg.frame_symbols):
+        row = set(fp["data_idx"][l, :fp["data_cnt"][l]].tolist())
+        assert not (row & tr_all), l
+    tr_p2 = set(fp["tr_p2"].tolist())
+    for l in range(cfg.n_p2):
+        row = set(fp["data_idx"][l, :fp["data_cnt"][l]].tolist())
+        assert not (row & tr_p2), l
+
+    ts = _ts(cfg)
+    cells, _ = t2.payload_cells(cfg, jnp.asarray(ts), t2.init_state(cfg))
+    grid = np.asarray(t2.build_frame_grid(cfg, cells))     # pre-TR truth
+    iq = np.asarray(t2.grid_to_iq(cfg, jnp.asarray(grid)))
+
+    fft, gi, K = cfg.fft_size, cfg.guard_samples, cfg.carriers
+    lf = cfg.frame_symbols
+    body = iq[2048:].reshape(lf, fft + gi, 2)[:, gi:]      # drop P1 + CP
+    sym = (body[..., 0] + 1j * body[..., 1]) / (t2.OUTPUT_SCALE
+                                                / np.sqrt(fft))
+    spec = np.fft.fftshift(np.fft.fft(sym), axes=-1) / fft
+    left = (fft - K + 1) // 2
+    rec = spec[:, left:left + K]
+    want = grid[..., 0] + 1j * grid[..., 1]
+
+    corr = np.abs(rec - want)
+    changed = corr > 1e-3
+    for l in range(lf):
+        tr = fp["tr_p2"] if l < cfg.n_p2 else fp["tr_data"]
+        outside = np.delete(corr[l], tr)
+        assert outside.max() < 1e-3, (l, outside.max())
+        # correction energy, where present, sits on the reserved set
+        if changed[l].any():
+            assert set(np.nonzero(changed[l])[0]) <= set(tr.tolist())
+    # TR actually fired somewhere in the frame
+    assert changed.any()
