@@ -108,13 +108,20 @@ class PaprStats:
 
     @property
     def mean_power(self) -> float:
-        return self.power_sum / self.n if self.n else 0.0
+        # empty file: C divides 0.0 by 0 and gets a (negative-signed) NaN
+        # rather than trapping (papr.c) — keep the float64 division
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return float(np.float64(self.power_sum)
+                         / np.float64(self.n if self.n else 0.0))
 
     @property
     def papr_db(self) -> float:
         # C: float papr = 10 * log10((double)peak / sum) — double math,
         # then one rounding to float32 on assignment (papr.c:134)
-        return float(np.float32(10.0 * np.log10(self.peak / self.mean_power)))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return float(np.float32(
+                10.0 * np.log10(np.float64(self.peak)
+                                / np.float64(self.mean_power))))
 
 
 def _iter_chunks(path: str, chunk_complex: int):
@@ -160,6 +167,9 @@ def ccdf_counts(path: str, levels: np.ndarray,
 
 def make_levels(mean_power: float, papr_db: float, graph: bool) -> np.ndarray:
     """levels[i] = 10^(step·i/10) · mean, float32 (papr.c:138-141,169-172)."""
+    if np.isnan(papr_db):
+        # empty file: C's (int)nan is INT_MIN, so the level loops never run
+        return np.empty(0, dtype=np.float32)
     if graph:
         # the reference accumulates index += 0.1f in float32 (papr.c:169-173),
         # so the float32 rounding error accumulates — replicate exactly
@@ -176,16 +186,21 @@ def make_levels(mean_power: float, papr_db: float, graph: bool) -> np.ndarray:
             * mean_power).astype(np.float32)
 
 
+def _cfmt(x: float) -> str:
+    """C printf %f, including the x86 quiet-NaN sign: 0.0/0.0 prints -nan."""
+    return "-nan" if np.isnan(x) else f"{x:f}"
+
+
 def format_report(stats: PaprStats, counts: np.ndarray, graph: bool) -> str:
     """Byte-identical stdout of ``papr [-g] <infile>`` (papr.c:130-190)."""
     out = []
     n = np.float32(stats.n)
     if not graph:
         out.append(f"Peak magnitude = {np.sqrt(stats.peak):f}")
-        out.append(f"average power = {stats.mean_power:f}, "
+        out.append(f"average power = {_cfmt(stats.mean_power)}, "
                    f"peak power = {stats.peak:f} @ {stats.peak_offset * 8}")
         out.append("")
-        out.append(f"Maximum PAPR = {stats.papr_db:f}")
+        out.append(f"Maximum PAPR = {_cfmt(stats.papr_db)}")
         for i, c in enumerate(counts):
             # C: ((float)count/(float)offset) * 100.0 — f32 divide, then
             # promotion to double for the multiply (papr.c:155)
