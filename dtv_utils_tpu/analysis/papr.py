@@ -124,6 +124,25 @@ class PaprStats:
                                 / np.float64(self.mean_power))))
 
 
+_REF_CHUNK_FLOATS = 16384          # papr.c:30 CHUNK_SIZE
+
+
+def _stale_q(path: str) -> np.float32:
+    """Reference semantics for an odd trailing float: papr.c's i+=2 loop
+    pairs it with buffer[length], which is the STATIC 16384-float buffer's
+    stale content — 0.0 if the file fits in one chunk, else the previous
+    chunk's float at the same buffer offset."""
+    import os
+    total = os.path.getsize(path) // 4
+    if total < _REF_CHUNK_FLOATS:
+        return np.float32(0.0)
+    idx = (total // _REF_CHUNK_FLOATS - 1) * _REF_CHUNK_FLOATS \
+        + total % _REF_CHUNK_FLOATS
+    with open(path, "rb") as f:
+        f.seek(idx * 4)
+        return np.frombuffer(f.read(4), dtype=np.float32)[0]
+
+
 def _iter_chunks(path: str, chunk_complex: int):
     """Yield (raw_interleaved, base_offset) float32 arrays from a cfile."""
     base = 0
@@ -132,8 +151,9 @@ def _iter_chunks(path: str, chunk_complex: int):
             raw = np.fromfile(f, dtype=np.float32, count=2 * chunk_complex)
             if raw.size == 0:
                 break
-            if raw.size % 2:  # trailing half-sample: drop the odd float,
-                raw = raw[:-1]  # like the reference's i+=2 stride would
+            if raw.size % 2:  # trailing half-sample: the reference pairs it
+                raw = np.concatenate(  # with the stale chunk-buffer float
+                    [raw, np.asarray([_stale_q(path)], np.float32)])
             yield raw, base
             base += raw.size // 2
             if raw.size < 2 * chunk_complex:
@@ -220,7 +240,7 @@ def format_report(stats: PaprStats, counts: np.ndarray, graph: bool) -> str:
     for c in counts:
         pct = float(np.float32(c) / n) * 100.0
         out.append(f"{pct:0.8f}")
-    return "\n".join(out) + "\n"
+    return "\n".join(out) + "\n" if out else ""   # no levels -> no output
 
 
 def cli(argv: list[str]) -> int:

@@ -99,6 +99,11 @@ def cmd_xport(argv: list[str]) -> int:
     return native.cli("xport", argv)
 
 
+def cmd_profile(argv: list[str]) -> int:
+    from dtv_utils_tpu.utils import profile
+    return profile.cli(argv)
+
+
 COMMANDS = {
     "dvbtrate": cmd_dvbtrate,
     "dvbs2rate": cmd_dvbs2rate,
@@ -112,6 +117,7 @@ COMMANDS = {
     "h264_parse": cmd_h264_parse,
     "l1dump": cmd_l1dump,
     "xport": cmd_xport,
+    "profile": cmd_profile,
 }
 
 

@@ -68,7 +68,10 @@ def lookup_cells(fftsize: int, guard: int, pilot: int, cred: int,
         row = {9: 26 if sp8 else 27, 10: 28 if sp8 else 29}[guard]
     else:
         row = rows.get(guard, default_row)
-    gisamples = GI_SAMPLES.get(guard, 192)
+    # each FFT size's switch only lists ITS guard cases; anything else hits
+    # the C default: gisamples = 192 (e.g. GI 8..12 on 8K, GI 12 on 16K)
+    valid = set(rows) | ({9, 10} if fftsize == 32768 else set())
+    gisamples = GI_SAMPLES[guard] if guard in valid else 192
     pp = pilot if 0 <= pilot < 16 else 0
     return dict(
         gisamples=gisamples,

@@ -131,20 +131,34 @@ def mode_adapt(cfg: Dvbt2Config, ts: jax.Array, state: Dvbt2State
     phase = state.packet_phase           # bytes into current packet
     ext = jnp.concatenate([state.prev_tail, ts])          # [187 + n]
 
-    # sync positions: i_k = (188 - phase) % 188 + 188 k, masked to < n
+    # sync positions: i_k = (188 - phase) % 188 + 188 k, masked to < n.
+    # The windows/sync bytes form a CONTIGUOUS 188-stride lattice, so both
+    # the CRC-window read and the sync-byte replacement are dynamic slices
+    # + reshapes, never a general gather/scatter (which cost ~3x the whole
+    # stage on 32K frames).
     first = (188 - phase) % 188
     n_sync = n // 188 + 1
     sync_pos = first + 188 * jnp.arange(n_sync, dtype=jnp.int32)
     valid = sync_pos < n
-    safe_pos = jnp.where(valid, sync_pos, 0)
-    # CRC over the 187 bytes before each sync position (in ext coords the
-    # window is [pos, pos+187) since ext is shifted by 187)
-    win = ext[safe_pos[:, None] + jnp.arange(187)[None, :]]
+    # CRC over the 187 bytes before each sync position: in ext coords the
+    # window is [pos, pos+187) since ext is shifted by 187.  One dynamic
+    # slice of n_sync packets starting at `first`, then drop the sync col.
+    ext_pad = jnp.concatenate(
+        [ext, jnp.zeros(n_sync * 188 - n + 1, jnp.uint8)])
+    win = jax.lax.dynamic_slice(ext_pad, (first,),
+                                (n_sync * 188,)).reshape(n_sync, 188)[:, :187]
     crcs = _crc8_rows(p, win)
     # stream start: the very first packet of the whole stream has no
-    # predecessor; its sync is replaced by CRC over zeros (prev_tail init)
-    adapted = ts.at[safe_pos].set(
-        jnp.where(valid, crcs, ts[safe_pos]).astype(jnp.uint8))
+    # predecessor; its sync is replaced by CRC over zeros (prev_tail init).
+    # Replacement: re-slice ts on the same lattice, swap column 0 for the
+    # CRCs, write the block back at `first` and crop to n.
+    ts_pad = jnp.concatenate([ts, jnp.zeros(n_sync * 188 + 188, jnp.uint8)])
+    blk = jax.lax.dynamic_slice(ts_pad, (first,),
+                                (n_sync * 188,)).reshape(n_sync, 188)
+    sync_col = jnp.where(valid, crcs, blk[:, 0]).astype(jnp.uint8)
+    blk = jnp.concatenate([sync_col[:, None], blk[:, 1:]], axis=1)
+    adapted = jax.lax.dynamic_update_slice(
+        ts_pad, blk.reshape(-1), (first,))[:n]
 
     data_bits = bitops.bytes_to_bits(adapted).reshape(cfg.fec_blocks, -1)
 
@@ -334,12 +348,15 @@ def _frame_arrays(cfg: Dvbt2Config):
     """Host-side scatter/gather arrays for frame assembly."""
     fp = T.frame_plan(cfg)
     l1 = _l1_plan(cfg)
+    p = _plan(cfg)
     K = cfg.carriers
     lf = cfg.frame_symbols
     cnts = fp["data_cnt"]
     total = int(cnts.sum())
     n_l1 = len(l1["pre_cells"]) + len(l1["post_cells"])
-    n_payload = cfg.fec_blocks * cfg.cells_per_fec_block
+    ncells = cfg.cells_per_fec_block
+    nb = cfg.fec_blocks
+    n_payload = nb * ncells
     n_dummy = total - n_l1 - n_payload
     assert n_dummy >= 0, (total, n_l1, n_payload)
     # dummy cells: BB-PRBS bits BPSK-mapped (§8.3.6.3 behaviour)
@@ -361,6 +378,27 @@ def _frame_arrays(cfg: Dvbt2Config):
         hinv[hp] = np.arange(c, dtype=np.int32)
         src[l, fp["data_idx"][l, :c]] = start + hinv
         start += c
+    # Compose the cell interleaver (§6.4) and time interleaver (§6.5) into
+    # the same gather: payload stream position s is pre-interleave cell
+    # payload_perm[s], so the hot path gathers straight from the mapped
+    # cells and never materializes the 2x-traffic intermediate (the
+    # standalone cell_time_interleave stage was ~1/3 of the 32K frame cost).
+    ci_flat = (np.arange(nb, dtype=np.int64)[:, None] * ncells
+               + p["ci_gather"]).reshape(-1)
+    ti = np.empty(n_payload, dtype=np.int64)
+    nr = ncells // 5
+    start_b = 0
+    for size in p["ti_sizes"]:
+        nc = size * 5
+        pidx = np.arange(size * ncells, dtype=np.int64)
+        ti[start_b * ncells + pidx] = (start_b * ncells
+                                       + (pidx % nc) * nr + pidx // nc)
+        start_b += size
+    payload_perm = ci_flat[ti]
+    src_fused = src.reshape(-1).astype(np.int64).copy()
+    in_payload = ((src_fused >= n_l1) & (src_fused < n_l1 + n_payload))
+    src_fused[in_payload] = n_l1 + payload_perm[src_fused[in_payload] - n_l1]
+    src_fused = src_fused.reshape(lf, K).astype(np.int32)
     # static pilot grid
     grid = np.zeros((lf, K, 2), dtype=np.float32)
     sign = fp["pilot_sign"]
@@ -373,13 +411,13 @@ def _frame_arrays(cfg: Dvbt2Config):
     for l in range(n_p2, lf):
         grid[l, cp, 0] = T.CP_AMPLITUDE[cfg.fft_size] * sign[cp]
     return dict(dummy=dummy, src=np.maximum(src, 0),
+                src_fused=np.maximum(src_fused, 0),
                 data_mask=(src >= 0),
                 pilot_grid=grid, cnts=cnts, total=total, lf=lf, K=K)
 
 
-def build_frame_grid(cfg: Dvbt2Config, payload: jax.Array) -> jax.Array:
-    """PLP payload cells [n_payload, 2] -> carrier grid [L_F, K, 2] with
-    L1, dummy cells, frequency interleaving and pilots."""
+def _assemble_grid(cfg: Dvbt2Config, payload: jax.Array,
+                   src_key: str) -> jax.Array:
     fa = _frame_arrays(cfg)
     l1 = _l1_plan(cfg)
     stream = jnp.concatenate([
@@ -387,10 +425,25 @@ def build_frame_grid(cfg: Dvbt2Config, payload: jax.Array) -> jax.Array:
         payload, jnp.asarray(fa["dummy"])], axis=0)
     lf, K = fa["lf"], fa["K"]
     # one composed row-gather: grid[l,k] = stream[src[l,k]] on data cells
-    vals = jnp.take(stream, jnp.asarray(fa["src"]).reshape(-1), axis=0)
+    vals = jnp.take(stream, jnp.asarray(fa[src_key]).reshape(-1), axis=0)
     mask = jnp.asarray(fa["data_mask"]).reshape(-1, 1)
     grid = jnp.where(mask, vals, jnp.asarray(fa["pilot_grid"]).reshape(-1, 2))
     return grid.reshape(lf, K, 2)
+
+
+def build_frame_grid(cfg: Dvbt2Config, payload: jax.Array) -> jax.Array:
+    """PLP payload cells [n_payload, 2] (already cell/time-interleaved) ->
+    carrier grid [L_F, K, 2] with L1, dummy cells, frequency interleaving
+    and pilots."""
+    return _assemble_grid(cfg, payload, "src")
+
+
+def build_frame_grid_fused(cfg: Dvbt2Config, cells: jax.Array) -> jax.Array:
+    """Mapped cells [blocks, ncells, 2] (NOT yet cell/time-interleaved) ->
+    carrier grid, with the §6.4/§6.5 interleavers composed into the frame
+    gather (bit-identical to cell_time_interleave + build_frame_grid; see
+    test_fused_frame_assembly)."""
+    return _assemble_grid(cfg, cells.reshape(-1, 2), "src_fused")
 
 
 # ---------------------------------------------------------------------------
@@ -530,8 +583,10 @@ def modulate_frame(cfg: Dvbt2Config, ts: jax.Array, state: Dvbt2State
 
     jit with cfg static: jax.jit(modulate_frame, static_argnums=0).
     """
-    cells, state = payload_cells(cfg, ts, state)
-    grid = build_frame_grid(cfg, cells)
+    bb, state = mode_adapt(cfg, ts, state)
+    fec = fec_encode(cfg, bb)
+    cells = interleave_and_map(cfg, fec)
+    grid = build_frame_grid_fused(cfg, cells)
     return grid_to_iq(cfg, grid), state
 
 

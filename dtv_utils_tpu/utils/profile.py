@@ -1,0 +1,224 @@
+"""Per-stage device profiling + roofline accounting.
+
+Implements SURVEY §5 row 1 (the reference's only profiling is ad-hoc
+``\\r`` rate prints, xport.c:2946-2974) the TPU way: every chain stage is
+compiled standalone, XLA's ``cost_analysis()`` reports its flops / bytes
+accessed, wall time is measured with ``block_until_ready``, and the stage
+is scored against the chip roofline — attainable time =
+max(flops/peak_flops, bytes/peak_bw), %-of-roofline = attainable/measured.
+
+``dtv profile {dvbt,dvbt2,j83b}`` prints the stage table (human) and, with
+``-j``, JSON lines through utils.metrics so the output stays pipeable.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+# Chip peaks for roofline scoring, keyed by jax device_kind.
+# (peak FLOP/s for the dominant f32/int path, HBM bytes/s.)  The v5e MXU
+# peak is 394 TOPS int8 / 197 TFLOP/s bf16; the f32 vector+matrix mix of
+# these DSP chains is bounded well below that, so we score against the
+# f32 systolic rate (bf16/2) — a conservative ceiling — and 819 GB/s HBM.
+CHIP_PEAKS: dict[str, tuple[float, float]] = {
+    "TPU v5 lite": (98.3e12, 819e9),
+    "TPU v5e": (98.3e12, 819e9),
+    "TPU v4": (137.5e12, 1228e9),
+    "TPU v6 lite": (459e12, 1640e9),
+}
+
+
+@dataclass
+class StageReport:
+    name: str
+    ms: float                    # measured device ms per invocation
+    flops: float                 # XLA cost_analysis
+    bytes: float                 # XLA cost_analysis bytes accessed
+    roofline_pct: float | None   # attainable/measured (None off-TPU)
+    bound: str                   # "memory" | "compute" | "?"
+
+    @property
+    def ai(self) -> float:
+        """Arithmetic intensity, flops per HBM byte."""
+        return self.flops / self.bytes if self.bytes else 0.0
+
+
+def _peaks():
+    import jax
+    d = jax.devices()[0]
+    return CHIP_PEAKS.get(getattr(d, "device_kind", ""), None)
+
+
+def profile_fn(name: str, fn, args, min_time_s: float = 0.2,
+               max_iter: int = 64) -> StageReport:
+    """Compile ``fn(*args)``, read its cost analysis, and time it."""
+    import jax
+
+    jfn = jax.jit(fn)
+    lowered = jfn.lower(*args)
+    compiled = lowered.compile()
+    flops = bytes_ = 0.0
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        bytes_ = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        pass
+    out = compiled(*args)
+    jax.block_until_ready(out)
+    # calibrate iteration count to ~min_time_s
+    t0 = time.perf_counter()
+    jax.block_until_ready(compiled(*args))
+    once = max(time.perf_counter() - t0, 1e-6)
+    n = int(np.clip(min_time_s / once, 3, max_iter))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = compiled(*args)
+    jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) / n * 1e3
+
+    peaks = _peaks()
+    pct, bound = None, "?"
+    if peaks is not None:
+        pf, pb = peaks
+        t_flop, t_mem = flops / pf, bytes_ / pb
+        attainable = max(t_flop, t_mem)
+        pct = 100.0 * attainable / (ms / 1e3) if ms > 0 else 0.0
+        bound = "compute" if t_flop > t_mem else "memory"
+    return StageReport(name=name, ms=ms, flops=flops, bytes=bytes_,
+                       roofline_pct=pct, bound=bound)
+
+
+def _ts_for(n_bytes: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    ts = rng.integers(0, 256, n_bytes, dtype=np.uint8)
+    ts[::188] = 0x47
+    return ts
+
+
+def dvbt2_stages(cfg=None) -> list[StageReport]:
+    """Stage-by-stage profile of the DVB-T2 chain (one T2 frame)."""
+    import jax.numpy as jnp
+
+    from dtv_utils_tpu.core.config import Dvbt2Config
+    from dtv_utils_tpu.tx import dvbt2 as t2
+
+    cfg = cfg or Dvbt2Config()
+    ts = jnp.asarray(_ts_for(cfg.payload_bytes_per_frame))
+    st = t2.init_state(cfg)
+    bb, _ = t2.mode_adapt(cfg, ts, st)
+    fec = t2.fec_encode(cfg, bb)
+    cells = t2.interleave_and_map(cfg, fec)
+    payload = t2.cell_time_interleave(cfg, cells)
+    grid = t2.build_frame_grid(cfg, payload)
+
+    P = functools.partial
+    return [
+        profile_fn("mode_adapt", P(t2.mode_adapt, cfg), (ts, st)),
+        profile_fn("fec_encode", P(t2.fec_encode, cfg), (bb,)),
+        profile_fn("interleave_and_map", P(t2.interleave_and_map, cfg),
+                   (fec,)),
+        profile_fn("cell_time_interleave", P(t2.cell_time_interleave, cfg),
+                   (cells,)),
+        profile_fn("build_frame_grid", P(t2.build_frame_grid, cfg),
+                   (payload,)),
+        profile_fn("grid_to_iq (ifft+cp+p1)", P(t2.grid_to_iq, cfg),
+                   (grid,)),
+        profile_fn("FULL frame", P(t2.modulate_frame, cfg), (ts, st)),
+    ]
+
+
+def dvbt_stages(cfg=None) -> list[StageReport]:
+    """Stage profile of the DVB-T chain (one superframe)."""
+    import jax.numpy as jnp
+
+    from dtv_utils_tpu.core.config import DvbtConfig
+    from dtv_utils_tpu.tx import dvbt as txd
+
+    cfg = cfg or DvbtConfig()
+    ts = jnp.asarray(_ts_for(cfg.ts_bytes_per_superframe))
+    st = txd.init_state(cfg)
+    carriers, _ = txd.encode_to_carriers(cfg, ts, st)
+
+    P = functools.partial
+    return [
+        profile_fn("encode_to_carriers", P(txd.encode_to_carriers, cfg),
+                   (ts, st)),
+        profile_fn("carriers_to_iq (ifft+cp)", P(txd.carriers_to_iq, cfg),
+                   (carriers,)),
+        profile_fn("FULL superframe", P(txd.modulate_superframe, cfg),
+                   (ts, st)),
+    ]
+
+
+def j83b_stages(cfg=None) -> list[StageReport]:
+    """Stage profile of the J.83B chain (one superblock)."""
+    import jax.numpy as jnp
+
+    from dtv_utils_tpu.core.config import J83bConfig
+    from dtv_utils_tpu.tx import j83b as txq
+
+    cfg = cfg or J83bConfig()
+    ts = jnp.asarray(_ts_for(txq.PACKETS_PER_SUPERBLOCK * 188))
+    st = txq.init_state(cfg)
+    cells, _ = txq.encode_to_cells(cfg, ts, st)
+    taps = txq.rrc_taps(cfg)            # concrete, closed over (static FIR)
+
+    P = functools.partial
+    return [
+        profile_fn("encode_to_cells", P(txq.encode_to_cells, cfg),
+                   (ts, st)),
+        profile_fn("rrc_interpolate",
+                   lambda c, t: txq.rrc_interpolate(c, t, taps),
+                   (cells, st.rrc_tail)),
+        profile_fn("FULL superblock", P(txq.modulate_superblock, cfg),
+                   (ts, st)),
+    ]
+
+
+CHAINS = {"dvbt": dvbt_stages, "dvbt2": dvbt2_stages, "j83b": j83b_stages}
+
+
+def format_table(reports: list[StageReport]) -> str:
+    rows = [f"{'stage':<28} {'ms':>9} {'GFLOP':>8} {'MB':>9} "
+            f"{'AI':>7} {'roof%':>6} bound"]
+    for r in reports:
+        pct = f"{r.roofline_pct:5.1f}" if r.roofline_pct is not None else "  n/a"
+        rows.append(f"{r.name:<28} {r.ms:9.3f} {r.flops / 1e9:8.3f} "
+                    f"{r.bytes / 1e6:9.3f} {r.ai:7.2f} {pct:>6} {r.bound}")
+    return "\n".join(rows)
+
+
+def cli(argv: list[str]) -> int:
+    import sys
+
+    from dtv_utils_tpu.utils.metrics import Metrics
+
+    json_mode = "-j" in argv
+    names = [a for a in argv if not a.startswith("-")] or ["dvbt2"]
+    for name in names:
+        if name not in CHAINS:
+            print(f"unknown chain <{name}> (choose from {list(CHAINS)})",
+                  file=sys.stderr)
+            return 255
+    for name in names:
+        reports = CHAINS[name]()
+        if json_mode:
+            m = Metrics(suppress_human=True)
+            for r in reports:
+                m.emit(f"profile.{name}.{r.name}", round(r.ms, 4), "ms",
+                       gflop=round(r.flops / 1e9, 4),
+                       mbytes=round(r.bytes / 1e6, 4),
+                       roofline_pct=(round(r.roofline_pct, 2)
+                                     if r.roofline_pct is not None else None),
+                       bound=r.bound)
+        else:
+            print(f"== {name} ==")
+            print(format_table(reports))
+    return 0

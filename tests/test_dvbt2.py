@@ -250,3 +250,15 @@ def test_tone_reservation_preserves_data_cells():
             assert set(np.nonzero(changed[l])[0]) <= set(tr.tolist())
     # TR actually fired somewhere in the frame
     assert changed.any()
+
+
+def test_fused_frame_assembly():
+    """build_frame_grid_fused (interleavers composed into the frame gather)
+    must be bit-identical to cell_time_interleave + build_frame_grid."""
+    cfg = Dvbt2Config()
+    ts = _ts(cfg)
+    bb, _ = t2.mode_adapt(cfg, jnp.asarray(ts), t2.init_state(cfg))
+    cells = t2.interleave_and_map(cfg, t2.fec_encode(cfg, bb))
+    ref = t2.build_frame_grid(cfg, t2.cell_time_interleave(cfg, cells))
+    fused = t2.build_frame_grid_fused(cfg, cells)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(fused))
