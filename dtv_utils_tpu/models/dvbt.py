@@ -107,13 +107,19 @@ def cli(argv: list[str]) -> int:
         from dtv_utils_tpu.utils import checkpoint
         state = checkpoint.load_state(args.load_state, txd.init_state(cfg),
                                       kind="dvbt")
+    import time
+    from dtv_utils_tpu.utils.metrics import Metrics
+    t0 = time.perf_counter()
     iq, state = txd.modulate_stream(cfg, ts, state=state)
+    dt = time.perf_counter() - t0
     if args.save_state:
         from dtv_utils_tpu.utils import checkpoint
         checkpoint.save_state(args.save_state, state, kind="dvbt")
-    sys.stderr.write(
-        f"dvbt-mod: {ts.size} TS bytes -> {iq.size} IQ samples @ "
-        f"{float(cfg.sample_rate)/1e6:.6f} Msps\n")
+    m = Metrics()
+    m.emit("dvbt_mod_throughput", round(iq.size / dt / 1e6, 3),
+           unit="Msamples/s", ts_bytes=int(ts.size), iq_samples=int(iq.size))
+    m.emit("dvbt_ts_rate", round(float(cfg.useful_bitrate) / 1e6, 6),
+           unit="Mbps", sample_rate_msps=round(float(cfg.sample_rate) / 1e6, 6))
     if args.outfile:
         iq.astype(np.complex64).tofile(args.outfile)
     return 0

@@ -58,10 +58,17 @@ def cli(argv: list[str]) -> int:
 
     ts = load_ts_cycled(args.infile, cfg.payload_bytes_per_frame,
                         args.frames)
+    import time
+    from dtv_utils_tpu.utils.metrics import Metrics
+    t0 = time.perf_counter()
     iq, _state = txt2.modulate_stream(cfg, ts)
-    sys.stderr.write(
-        f"dvbt2-mod[{args.profile}]: {ts.size} TS bytes -> {iq.size} IQ "
-        f"samples @ {float(cfg.sample_rate)/1e6:.6f} Msps\n")
+    dt = time.perf_counter() - t0
+    m = Metrics()
+    m.emit("dvbt2_mod_throughput", round(iq.size / dt / 1e6, 3),
+           unit="Msamples/s", profile=args.profile,
+           ts_bytes=int(ts.size), iq_samples=int(iq.size))
+    m.emit("dvbt2_sample_rate",
+           round(float(cfg.sample_rate) / 1e6, 6), unit="Msps")
     if args.outfile:
         iq.astype(np.complex64).tofile(args.outfile)
     return 0

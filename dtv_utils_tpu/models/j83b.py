@@ -29,10 +29,16 @@ def cli(argv: list[str]) -> int:
     cfg = J83bConfig()
     blk = txq.PACKETS_PER_SUPERBLOCK * 188
     ts = load_ts_cycled(infile, blk, None)
+    import time
+    from dtv_utils_tpu.utils.metrics import Metrics
+    t0 = time.perf_counter()
     iq, _state = txq.modulate_stream(cfg, ts)
-    sys.stderr.write(
-        f"qam-mod: {ts.size} TS bytes -> {iq.size} IQ samples @ "
-        f"{float(cfg.sample_rate)/1e6:.6f} Msps\n")
+    dt = time.perf_counter() - t0
+    m = Metrics()
+    m.emit("j83b_mod_throughput", round(iq.size / dt / 1e6, 3),
+           unit="Msamples/s", ts_bytes=int(ts.size), iq_samples=int(iq.size))
+    m.emit("j83b_sample_rate", round(float(cfg.sample_rate) / 1e6, 6),
+           unit="Msps")
     if outfile:
         iq.astype(np.complex64).tofile(outfile)
     return 0

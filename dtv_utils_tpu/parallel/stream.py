@@ -185,6 +185,142 @@ def sharded_dvbt2_modulator(cfg, mesh: Mesh, axis: str = "seq"):
     return run, NamedSharding(mesh, P(axis, None))
 
 
+J83B_HALO_PACKETS = 427
+"""J.83B shard halo: 427 packets = lcm alignment of TS packets (1504 bits),
+7-bit symbolization, and RS(128,122) codewords (854 bits) — 427·1504 =
+642,208 bits = 752 whole codewords = 96,256 RS output symbols, which covers
+the (I−1)·I·J = 65,024-symbol Forney interleaver reach.  A superblock is
+exactly 15 such units (6405 = 15·427)."""
+
+
+def _j83b_conv_consts():
+    """Trellis coder memories at every superblock boundary are CONSTANTS:
+    the final 28-bit trellis group of a superblock lies entirely inside the
+    (constant) 42-bit FSYNC trailer — frame bits % 28 = 14, so groups align
+    at 2-frame granularity and the last group is FSYNC bits 14..41.  The
+    feed-forward K=5 coder memory is just its last 4 input bits."""
+    from dtv_utils_tpu.tx.j83b import _fsync_bits
+    grp = _fsync_bits()[-28:]
+    a, b = grp[0::2], grp[1::2]
+    return (np.ascontiguousarray(a[10:][::-1]),
+            np.ascontiguousarray(b[10:][::-1]))
+
+
+def derive_j83b_ilv_carry(prev_tail: jax.Array) -> jax.Array:
+    """Recompute the Forney interleaver carry entering a superblock from the
+    previous superblock's last 427 packets of RAW TS bytes: framing → 7-bit
+    symbolization → RS — all boundaries align (see J83B_HALO_PACKETS), and
+    the carry is the last 65,024 RS output symbols."""
+    from dtv_utils_tpu.core import bits as bitops
+    from dtv_utils_tpu.tx import j83b as txq
+    framed = txq.transport_framing(
+        prev_tail.reshape(J83B_HALO_PACKETS, 188)).reshape(-1)
+    bits = bitops.bytes_to_bits(framed)
+    syms = bitops.bits_to_words(bits.reshape(-1, 7), 7).reshape(-1)
+    cw = txq.rs_encode(syms.reshape(-1, txq.RS_K)).reshape(-1)
+    C = (txq.ILV_I - 1) * txq.ILV_I * txq.ILV_J
+    return cw[-C:].astype(jnp.int32)
+
+
+def sharded_j83b_modulator(cfg, mesh: Mesh, axis: str = "seq"):
+    """J.83B sequence sharding, contiguous-block layout (device d holds
+    superblocks [d*L, (d+1)*L)), bit-identical to modulate_stream.
+
+    Three stream-state couplings, each handled without serialization:
+      * interleaver carry — recomputed locally from a one-hop ppermute of
+        the previous superblock's 427-packet raw tail (derive_j83b_ilv_carry);
+      * trellis coder memories — constants at superblock boundaries
+        (_j83b_conv_consts), zeros only for stream block 0;
+      * differential precoder — each block encodes with q0=0, then the
+        global quadrant prefix (an exclusive scan of per-block quadrant
+        sums, all_gather of one int32 per device) is applied as an EXACT
+        90°·k rotation of the emitted cells: advancing the precoder state
+        by Δ quadrants multiplies every cell by (−j)^Δ (the constellation's
+        rotation symmetry, tests/test_j83b_invariants.py), and the exact
+        0/±1 rotation matrix keeps float32 bit-identity.
+    The RRC filter history is the previous block's last 49 rotated cells —
+    local for blocks 1..L−1, one 49-cell ppermute at device boundaries.
+    """
+    from dtv_utils_tpu.tx import j83b as txq
+    n_dev = mesh.shape[axis]
+    blk = txq.PACKETS_PER_SUPERBLOCK * 188
+    halo = J83B_HALO_PACKETS * 188
+    conv_a_const, conv_b_const = _j83b_conv_consts()
+    # (x + iy)·(−j)^Δ as an exact 0/±1 matrix acting on (x, y) rows
+    rot_mats = np.array([[[1, 0], [0, 1]],
+                         [[0, -1], [1, 0]],
+                         [[-1, 0], [0, -1]],
+                         [[0, 1], [-1, 0]]], dtype=np.float32)
+
+    def local_fn(ts_local: jax.Array) -> jax.Array:
+        L = ts_local.shape[0]
+        d = jax.lax.axis_index(axis)
+        global_idx = d * L + jnp.arange(L, dtype=jnp.int32)
+        is_first = (global_idx == 0)
+
+        # ---- interleaver carries from raw-TS halos (one-hop ring) ----
+        my_last_tail = ts_local[-1, -halo:]
+        prev_tail0 = jax.lax.ppermute(
+            my_last_tail, axis,
+            [(i, (i + 1) % n_dev) for i in range(n_dev)])
+        prev_tails = jnp.concatenate(
+            [prev_tail0[None], ts_local[:-1, -halo:]], axis=0)
+        carries = jax.vmap(derive_j83b_ilv_carry)(prev_tails)
+        carries = jnp.where(is_first[:, None], 0, carries)
+
+        conv_a = jnp.where(is_first[:, None], 0,
+                           jnp.asarray(conv_a_const)[None]).astype(jnp.uint8)
+        conv_b = jnp.where(is_first[:, None], 0,
+                           jnp.asarray(conv_b_const)[None]).astype(jnp.uint8)
+
+        # ---- encode every block with q0 = 0 ----
+        def one(ts_i, carry_i, ca_i, cb_i):
+            st = txq.J83bState(ilv_carry=carry_i, conv_a=ca_i, conv_b=cb_i,
+                               diff_state=jnp.zeros(2, jnp.uint8),
+                               rrc_tail=jnp.zeros((49, 2), jnp.float32))
+            cells, st2 = txq.encode_to_cells(cfg, ts_i, st)
+            w, z = st2.diff_state[0], st2.diff_state[1]
+            q_sum = (w.astype(jnp.int32) << 1) | (w ^ z).astype(jnp.int32)
+            return cells, q_sum
+        cells, q_sums = jax.vmap(one)(ts_local, carries, conv_a, conv_b)
+
+        # ---- exact quadrant-prefix rotation ----
+        local_excl = jnp.cumsum(q_sums) - q_sums            # [L]
+        totals = jax.lax.all_gather(jnp.sum(q_sums), axis)  # [n_dev]
+        dev_excl = jnp.sum(
+            jnp.where(jnp.arange(n_dev) < d, totals, 0))
+        offsets = (local_excl + dev_excl) & 3               # [L]
+        cells = jnp.einsum("lnc,lcd->lnd", cells,
+                           jnp.asarray(rot_mats)[offsets],
+                           preferred_element_type=jnp.float32)
+
+        # ---- RRC histories: previous block's last 49 rotated cells ----
+        my_last_cells = cells[-1, -49:, :]
+        prev_cells0 = jax.lax.ppermute(
+            my_last_cells, axis,
+            [(i, (i + 1) % n_dev) for i in range(n_dev)])
+        tails = jnp.concatenate([prev_cells0[None], cells[:-1, -49:, :]],
+                                axis=0)
+        tails = jnp.where(is_first[:, None, None], 0.0, tails)
+
+        taps = txq.rrc_taps(cfg)
+        def rrc_one(cells_i, tail_i):
+            iq, _ = txq.rrc_interpolate(cells_i, tail_i, taps)
+            return iq
+        return jax.vmap(rrc_one)(cells, tails)
+
+    sharded = jax.shard_map(local_fn, mesh=mesh,
+                            in_specs=P(axis, None), out_specs=P(axis, None))
+
+    @jax.jit
+    def run(ts_blocks: jax.Array) -> jax.Array:
+        assert ts_blocks.shape[0] % n_dev == 0
+        assert ts_blocks.shape[1] == blk
+        return sharded(ts_blocks)
+
+    return run, NamedSharding(mesh, P(axis, None))
+
+
 def batched_dvbt_modulator(cfg: DvbtConfig):
     """Single-device batched modulator: the same carry-derivation trick used
     for sequence sharding, applied to a batch of consecutive superframes in

@@ -52,11 +52,15 @@ FRAMES_PER_SUPERBLOCK = 188
 PACKETS_PER_SUPERBLOCK = 6405          # = 188 frames of TS bytes
 TRELLIS_GROUP_IN, TRELLIS_GROUP_OUT = 28, 30
 
-# 42-bit frame sync word, 64-QAM mode (PARITY-RISK: value from recall of
-# SCTE 07 §5.4; the 4-bit control word — 6 ⇒ (I=128, J=4), README:88-104 —
-# occupies the trailing reserved/control field)
-FSYNC_WORD = 0x2CA2C92CA  # 42 bits
+# 42-bit frame sync trailer, 64-QAM mode: a 38-bit unique sync pattern
+# followed by the 4-bit control word in the trailing field — 6 ⇒
+# (I=128, J=4), README:88-104 — so a receiver reads the interleaver mode
+# from the trailer (SCTE 07 §5.4 structure).  PARITY-RISK: the sync
+# pattern bits are from recall; placement/extraction is invariant-tested
+# (tests/test_j83b_invariants.py).
+FSYNC_SYNC_PATTERN = 0x2CA2C92CA >> 4      # 38 bits
 CONTROL_WORD = 6
+FSYNC_WORD = (FSYNC_SYNC_PATTERN << 4) | CONTROL_WORD  # 42 bits
 
 # interleaver: branch b delays b*J symbols, commutated over I branches
 ILV_I, ILV_J = 128, 4
@@ -244,9 +248,16 @@ def trellis_encode(bits: jax.Array, conv_a, conv_b, diff_state):
     Group layout (PARITY-RISK, §5.5 recall): 28 bits split alternately into
     A (even positions) and B (odd); within each 14-bit substream the first
     10 bits are uncoded (2 per symbol), the last 4 feed the rate-4/5 coder
-    (1 coded bit per symbol).  Symbol word = [dW, dZ, uA1, uB1, cA, cB]
-    (MSB..LSB) where (dW, dZ) are the differentially-precoded top uncoded
-    bits of A and B.
+    (1 coded bit per symbol).
+
+    Word layout is pinned by the EXACT reference constellation literal
+    (qam-blade.py:57): multiplying any point by j maps its index to the
+    index with Gray-advanced bits (b3, b0) and bits b5 b4 b2 b1 unchanged
+    (verified exhaustively in tests/test_j83b_invariants.py).  90°
+    rotational invariance therefore requires the differentially-precoded
+    quadrant pair to occupy (b3, b0) as its Gray code, with the uncoded
+    payload bits on (b5, b4) and the coded bits on (b2, b1):
+    word = [uA, uB, qGrayHi, cA, cB, qGrayLo] (MSB..LSB).
     """
     g = bits.reshape(-1, TRELLIS_GROUP_IN)
     n_grp = g.shape[0]
@@ -271,13 +282,14 @@ def trellis_encode(bits: jax.Array, conv_a, conv_b, diff_state):
     q0 = ((diff_state[0].astype(jnp.int32) << 1)
           | (diff_state[0] ^ diff_state[1]).astype(jnp.int32))
     q_out = (jnp.cumsum(q_in) + q0) & 3
-    W = (q_out >> 1).astype(jnp.uint8)
-    Z = (W ^ (q_out & 1).astype(jnp.uint8))
+    W = (q_out >> 1).astype(jnp.uint8)                # Gray hi → b3
+    Z = (W ^ (q_out & 1).astype(jnp.uint8))           # Gray lo → b0
     new_diff = jnp.stack([W[-1], Z[-1]])
-    words = ((W.astype(jnp.int32) << 5) | (Z.astype(jnp.int32) << 4)
-             | (u.astype(jnp.int32) << 3) | (v.astype(jnp.int32) << 2)
-             | (ca.reshape(-1).astype(jnp.int32) << 1)
-             | cb.reshape(-1).astype(jnp.int32))
+    words = ((u.astype(jnp.int32) << 5) | (v.astype(jnp.int32) << 4)
+             | (W.astype(jnp.int32) << 3)
+             | (ca.reshape(-1).astype(jnp.int32) << 2)
+             | (cb.reshape(-1).astype(jnp.int32) << 1)
+             | Z.astype(jnp.int32))
     return words, conv_a, conv_b, new_diff
 
 

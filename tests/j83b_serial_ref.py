@@ -122,8 +122,10 @@ class SerialJ83b:
                 self.diff_q = (self.diff_q + q_in) & 3
                 W = self.diff_q >> 1
                 Z = W ^ (self.diff_q & 1)
-                words[wi] = ((W << 5) | (Z << 4) | (u << 3) | (v << 2)
-                             | (ca[j] << 1) | cb[j])
+                # word layout pinned by the reference constellation's 90°
+                # rotation structure: Gray quadrant on (b3, b0)
+                words[wi] = ((u << 5) | (v << 4) | (W << 3)
+                             | (ca[j] << 2) | (cb[j] << 1) | Z)
                 wi += 1
         return words
 
