@@ -116,8 +116,11 @@ def cli(argv: list[str]) -> int:
         from dtv_utils_tpu.utils import checkpoint
         checkpoint.save_state(args.save_state, state, kind="dvbt")
     m = Metrics()
+    # single-shot CLI timing includes JIT compile + host transfers (unlike
+    # bench.py's warmed device-resident numbers — same metric name family)
     m.emit("dvbt_mod_throughput", round(iq.size / dt / 1e6, 3),
-           unit="Msamples/s", ts_bytes=int(ts.size), iq_samples=int(iq.size))
+           unit="Msamples/s", ts_bytes=int(ts.size), iq_samples=int(iq.size),
+           includes_compile=True)
     m.emit("dvbt_ts_rate", round(float(cfg.useful_bitrate) / 1e6, 6),
            unit="Mbps", sample_rate_msps=round(float(cfg.sample_rate) / 1e6, 6))
     if args.outfile:

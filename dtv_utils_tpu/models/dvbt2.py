@@ -11,7 +11,6 @@ SDR output is out of scope; output_file receives gr_complex IQ.
 from __future__ import annotations
 
 import argparse
-import sys
 
 import numpy as np
 

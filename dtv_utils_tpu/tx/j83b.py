@@ -333,14 +333,24 @@ def rrc_interpolate(cells: jax.Array, tail: jax.Array,
     if jax.default_backend() == "tpu" and pallas_enabled():
         # Pallas overlap-save kernel: one HBM read + one write per sample
         out = polyphase_interp2(x, taps, n)          # [2, 2n]
-    else:
+    elif jax.default_backend() == "tpu":
         out = _interp2_slices(x, taps, n)
+    else:
+        # CPU (the sharding-verification platform): a dedicated conv op.
+        # The slices formulation is an elementwise fusion whose fma
+        # contraction choices depend on the SURROUNDING program, so the
+        # serial and shard_map programs disagreed at 1 ulp on ~0.03% of
+        # phase-0 outputs; lax.conv lowers as its own operation and is
+        # bit-stable across program contexts (tests/test_parallel.py's
+        # sharded == modulate_stream bit-identity relies on this).
+        out = _interp2_conv(x, taps, n)
     return out.T, ext[-49:]
 
 
 def _interp2_slices(x: jax.Array, taps: np.ndarray, n: int) -> jax.Array:
     """XLA formulation: weighted sum of 50 shifted slices per phase (the
-    rank-1 lax.conv path is ~20 ms for this shape on TPU)."""
+    rank-1 lax.conv path is ~20 ms for this shape on TPU; see
+    _interp2_conv for why the CPU path uses a dedicated conv op instead)."""
     outs = []
     for p in range(2):
         hp = taps[p::2][::-1]                        # [50], flipped
@@ -349,6 +359,21 @@ def _interp2_slices(x: jax.Array, taps: np.ndarray, n: int) -> jax.Array:
             term = jax.lax.slice(x, (0, j), (2, j + n)) * jnp.float32(h)
             y = term if y is None else y + term
         outs.append(y)                               # [2, n]
+    return jnp.stack(outs, axis=-1).reshape(2, -1)   # [2, 2n] interleaved
+
+
+def _interp2_conv(x: jax.Array, taps: np.ndarray, n: int) -> jax.Array:
+    """lax.conv_general_dilated formulation: the polyphase interpolator as
+    two VALID correlations over the rail axis as batch.  Slower than the
+    slices fusion on TPU but lowered as a dedicated op, so its rounding
+    does not depend on the surrounding program — required for the
+    serial == sharded bit-identity contract on the CPU mesh."""
+    outs = []
+    for p in range(2):
+        hp = jnp.asarray(np.ascontiguousarray(taps[p::2][::-1]))   # [50]
+        y = jax.lax.conv_general_dilated(
+            x[:, None, :], hp[None, None, :], (1,), "VALID")       # [2,1,n]
+        outs.append(y[:, 0, :n])
     return jnp.stack(outs, axis=-1).reshape(2, -1)   # [2, 2n] interleaved
 
 
