@@ -457,35 +457,17 @@ OUTPUT_SCALE = 0.2          # dvbt2-blade.py:132 final multiply_const
 def _p1_samples(cfg: Dvbt2Config) -> np.ndarray:
     """The 2048-sample P1 preamble, host-precomputed (it is constant).
 
-    Structure per EN 302 755 §9.8: 1K OFDM symbol with 384 active carriers
-    carrying a DBPSK-modulated signalling pattern (S1 = T2_SISO, S2 = FFT
-    size), with C-A-B guard structure: C = first 542 samples frequency-
-    shifted by +f_SH, then A (1024), then B = last 482 samples shifted.
-    The 384-carrier CDS and the S1/S2 CSS sequences are annex tables:
-    stand-in deterministic sets, PARITY-RISK."""
-    rng = np.random.default_rng(0x0B1)
-    # stand-in carrier distribution: 384 of the central 853 carriers of 1K
-    cds = np.sort(rng.choice(np.arange(86, 86 + 683), size=384,
-                             replace=False))
-    # stand-in MSS: S1 pattern (8 bits repeated) + S2 (fft code) + padding
+    Structure per EN 302 755 §9.8 via tx/t2_p1.py: 1K OFDM symbol, the
+    384-carrier CDS, DBPSK+scrambled S1/S2 CSS signalling (S1 = T2_SISO,
+    S2 field = FFT size with mixed=0), C-A-B guard structure.  Scaled so
+    the P1 mean sample power matches the data symbols' (which carry
+    ~cfg.carriers unit-power cells into an unnormalized size-fft IFFT
+    followed by the OUTPUT_SCALE/sqrt(fft) in grid_to_iq)."""
+    from dtv_utils_tpu.tx import t2_p1
     s2 = {1024: 0, 2048: 1, 4096: 2, 8192: 3, 16384: 4, 32768: 5}[
-        cfg.fft_size]
-    info = np.zeros(384, dtype=np.uint8)
-    info[:64] = np.tile(np.asarray([0, 0, 0, 1, 1, 0, 1, 1]), 8)  # S1 css
-    info[64:320] = rng.integers(0, 2, 256)                         # body
-    info[320:] = np.tile((s2 >> np.arange(3, -1, -1)) & 1, 16)     # S2 css
-    # DBPSK across active carriers
-    diff = np.cumsum(info) % 2
-    sym = 1.0 - 2.0 * diff
-    spec = np.zeros(1024, dtype=np.complex128)
-    spec[cds] = sym
-    a = np.fft.ifft(np.fft.ifftshift(spec)) * 1024
-    n = np.arange(1024)
-    shift = np.exp(2j * np.pi * n / 1024)          # f_SH = one carrier
-    c = (a * shift)[:542]
-    b = (a * shift)[542:]
-    p1 = np.concatenate([c, a, b])
-    assert len(p1) == 2048
+        cfg.fft_size] << 1
+    p1 = t2_p1.p1_time(s1=0, s2=s2,
+                       mean_power=cfg.carriers / cfg.fft_size)
     return np.stack([p1.real, p1.imag], -1).astype(np.float32)
 
 

@@ -1,0 +1,116 @@
+"""P1 preamble (EN 302 755 §9.8) structural + functional validation.
+
+The tables are reconstructed from their generative CSS structure (see
+tx/t2_p1.py docstring); these tests pin every property that is checkable
+without the standard text: counts, spans, block structure, the published
+head of the CDS, the XOR structure of S1/S2, DBPSK/scrambling invariants,
+the ~10 dB peak-to-average the CSS design exists for, and receiver-style
+detectability via the C-A-B guard correlation."""
+
+import numpy as np
+import pytest
+
+from dtv_utils_tpu.tx import t2_p1
+
+
+def test_cds_count_span_uniqueness():
+    cds = t2_p1.p1_active_carriers()
+    assert cds.shape == (384,)
+    assert len(np.unique(cds)) == 384
+    assert (np.diff(cds) > 0).all()
+    assert cds[0] == 44 and cds[-1] == 808
+    assert cds.min() >= 0 and cds.max() < 853
+
+
+def test_cds_published_head():
+    """First 28 entries of the published table (EN 302 755 table;
+    gr-dtv dvbt2_p1insertion_cc_impl.cc carries the same values)."""
+    head = [44, 45, 47, 51, 54, 59, 62, 64, 65, 66, 70, 75, 78, 80, 81,
+            82, 84, 85, 87, 88, 89, 90, 94, 96, 97, 98, 102, 107]
+    assert t2_p1.p1_active_carriers()[:28].tolist() == head
+
+
+def test_cds_signalling_blocks():
+    """Exactly 64 + 256 + 64 actives in the S1 / S2 / S1-repeat regions."""
+    cds = t2_p1.p1_active_carriers()
+    assert int((cds < 44 + 128).sum()) == 64
+    assert int(((cds >= 44 + 128) & (cds < 44 + 608)).sum()) == 256
+    assert int((cds >= 44 + 637).sum()) == 64
+
+
+def test_s1_s2_xor_structure():
+    """S1[r][k] = T[r^k]; S2[r][k] = U[r^k]; rows are distinct; every row
+    is balanced up to the CSS weight profile (same multiset of bytes)."""
+    rows = [t2_p1.s1_pattern(r) for r in range(8)]
+    for r in range(8):
+        assert rows[r].shape == (64,)
+    # XOR structure implies row r equals row 0 with byte order permuted
+    b0 = np.packbits(rows[0])
+    for r in range(1, 8):
+        br = np.packbits(rows[r])
+        assert sorted(br.tolist()) == sorted(b0.tolist())
+        assert not np.array_equal(br, b0)
+    s2rows = [np.packbits(t2_p1.s2_pattern(r)) for r in range(16)]
+    for r in range(1, 16):
+        assert sorted(s2rows[r].tolist()) == sorted(s2rows[0].tolist())
+        assert not np.array_equal(s2rows[r], s2rows[0])
+
+
+def test_mss_is_s1_s2_s1():
+    m = t2_p1.mss_bits(3, 9)
+    assert m.shape == (384,)
+    assert np.array_equal(m[:64], m[320:])
+    assert np.array_equal(m[:64], t2_p1.s1_pattern(3))
+    assert np.array_equal(m[64:320], t2_p1.s2_pattern(9))
+
+
+@pytest.mark.parametrize("s2", range(0, 16, 2))
+def test_p1_peak_to_average(s2):
+    """The CSS design keeps the P1 peak ~10 dB over mean; the former
+    stand-in measured ~31 dB.  Gate at < 12 dB."""
+    x = t2_p1.p1_time(0, s2)
+    p = np.abs(x) ** 2
+    papr = 10 * np.log10(p.max() / p.mean())
+    assert papr < 12.0, papr
+
+
+def test_p1_mean_power_scaling():
+    x = t2_p1.p1_time(0, 4, mean_power=0.37)
+    a = x[542:1566]
+    assert np.mean(np.abs(a) ** 2) == pytest.approx(0.37, rel=1e-12)
+
+
+def test_p1_guard_structure():
+    """C and B are the frequency-shifted copies of the matching A parts."""
+    x = t2_p1.p1_time(0, 6)
+    a = x[542:1566]
+    shift = np.exp(2j * np.pi * np.arange(1024) / 1024)
+    np.testing.assert_allclose(x[:542], (a * shift)[:542], rtol=1e-12)
+    np.testing.assert_allclose(x[1566:], (a * shift)[542:], rtol=1e-12)
+
+
+def test_p1_detectable_in_noise():
+    """Receiver-style C/B guard correlation finds the P1 start embedded in
+    noise + payload-like samples at the exact sample index."""
+    rng = np.random.default_rng(7)
+    x = t2_p1.p1_time(0, 10)
+    pwr = np.mean(np.abs(x) ** 2)
+    noise = (rng.standard_normal(6000) + 1j * rng.standard_normal(6000)) \
+        * np.sqrt(pwr / 2)
+    start = 1777
+    sig = noise.copy()
+    sig[start:start + 2048] += x
+    assert t2_p1.detect_p1(sig) == start
+
+
+def test_p1_wired_into_dvbt2_chain():
+    """The modulator's preamble is the t2_p1 output at signal power."""
+    from dtv_utils_tpu.models.dvbt2 import PROFILES
+    from dtv_utils_tpu.tx import dvbt2 as txt2
+    cfg = PROFILES["blade"]
+    p1 = txt2._p1_samples(cfg)
+    assert p1.shape == (2048, 2)
+    want = t2_p1.p1_time(0, {4096: 2}[cfg.fft_size] << 1,
+                         mean_power=cfg.carriers / cfg.fft_size)
+    np.testing.assert_allclose(p1[:, 0], want.real.astype(np.float32),
+                               atol=0)
