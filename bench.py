@@ -7,11 +7,28 @@ as the model CLIs):
   3. j83b_qam64_iq_throughput
   4. papr_scan_throughput              (GSa/s of the pass-1 power scan)
 
+Measurement honesty (round 3 rewrite — the round-2 numbers were enqueue
+rates, not throughput):
+
+  * The axon TPU tunnel backend is LAZY: ``jax.block_until_ready`` returns
+    immediately and execution happens when a value is fetched.  It also
+    MEMOIZES dispatches (same executable + same input buffers => cached
+    result).  Naive loops measured "17 TB/s HBM bandwidth" — 20x the
+    physical roofline.  All timing therefore goes through
+    utils/timing.timed_stream: a distinct input buffer for EVERY dispatch
+    and a scalar probe chain fetched inside the timed region, so the wall
+    time data-depends on every timed kernel.
+  * Running the 32K DVB-T2 chain degrades the backend session itself
+    (afterwards even a 1-output 128 MiB sum dispatch is ~58x slower, and
+    multi-output dispatches ~10000x; jax.clear_caches does not recover
+    it).  Each benchmark therefore runs in its OWN subprocess so every
+    metric reflects a clean backend session.
+
 Serving shape for the modulators: N independent muxes (each a serial
 state-threaded stream) round-robin on one chip — dispatches of independent
 streams pipeline on the device, so this measures chip saturation, not
-single-stream latency.  Buffers rotate and states thread serially, so no
-dispatch ever repeats an input (honest timing on remote backends).
+single-stream latency.  States thread serially and every dispatch consumes
+a fresh buffer, so no dispatch can be served from the memoization cache.
 
 vs_baseline for the modulators is the reference's implied real-time floor:
 the bladeRF sample rate each chain must sustain (dvbt-blade.py:146 →
@@ -23,32 +40,13 @@ number; its two-pass CPU loop is far below that).
 
 from __future__ import annotations
 
-import time
+import subprocess
+import sys
 
 import numpy as np
 
 DVBT_FLOOR_MSPS = 8e6 * 8 / 7 / 1e6      # 9.142857 Msps (dvbt-blade.py:146)
 J83B_FLOOR_MSPS = 5.056941 * 2           # 10.113882 Msps (qam-blade.py:36)
-
-
-def _pipeline_bench(fn, bufs, states, n_streams: int, n_iter: int,
-                    warmup: int = 3) -> float:
-    """Round-robin the jitted fn over n_streams serial streams; returns
-    wall seconds for n_iter*n_streams dispatches."""
-    import jax
-    outs = [None] * n_streams
-    for i in range(warmup):
-        for s in range(n_streams):
-            outs[s], states[s] = fn(bufs[(i * n_streams + s) % len(bufs)],
-                                    states[s])
-    jax.block_until_ready(outs)
-    t0 = time.perf_counter()
-    for i in range(n_iter):
-        for s in range(n_streams):
-            outs[s], states[s] = fn(bufs[(i * n_streams + s) % len(bufs)],
-                                    states[s])
-    jax.block_until_ready(outs)
-    return time.perf_counter() - t0
 
 
 def _ts_buffers(rng, block_bytes: int, n: int):
@@ -68,18 +66,21 @@ def bench_dvbt(metrics) -> None:
                                            DvbtConfig, GuardInterval,
                                            TransmissionMode)
     from dtv_utils_tpu.tx import dvbt as txd
+    from dtv_utils_tpu.utils.timing import timed_stream
 
     cfg = DvbtConfig(mode=TransmissionMode.M8K, bandwidth_mhz=8,
                      constellation=Constellation.QAM64,
                      code_rate=CodeRate.R7_8, guard=GuardInterval.G1_32)
     fn = jax.jit(lambda ts, st: txd.modulate_superframe(cfg, ts, st),
                  donate_argnums=(1,))
-    n_streams = 4
+    n_streams, n_rounds, warmup = 4, 22, 2
     rng = np.random.default_rng(0)
-    bufs = _ts_buffers(rng, cfg.ts_bytes_per_superframe, 4 * n_streams)
+    bufs = _ts_buffers(rng, cfg.ts_bytes_per_superframe,
+                       n_rounds * n_streams)
     states = [txd.init_state(cfg) for _ in range(n_streams)]
-    dt = _pipeline_bench(fn, bufs, states, n_streams, n_iter=20)
-    msps = 20 * n_streams * cfg.samples_per_superframe / dt / 1e6
+    dt = timed_stream(fn, bufs, states, warmup=warmup)
+    n_timed = (n_rounds - warmup) * n_streams
+    msps = n_timed * cfg.samples_per_superframe / dt / 1e6
     metrics.emit("dvbt_8k_qam64_r78_iq_throughput", round(msps, 3),
                  unit="Msamples/s/chip",
                  vs_baseline=round(msps / DVBT_FLOOR_MSPS, 3))
@@ -89,17 +90,19 @@ def bench_dvbt2(metrics) -> None:
     import jax
     from dtv_utils_tpu.models.dvbt2 import PROFILES
     from dtv_utils_tpu.tx import dvbt2 as txt2
+    from dtv_utils_tpu.utils.timing import timed_stream
 
     cfg = PROFILES["bbc"]
     fn = jax.jit(lambda ts, st: txt2.modulate_frame(cfg, ts, st),
                  donate_argnums=(1,))
-    n_streams = 2
+    n_streams, n_rounds, warmup = 2, 8, 2
     rng = np.random.default_rng(1)
-    bufs = _ts_buffers(rng, cfg.payload_bytes_per_frame, 2 * n_streams)
+    bufs = _ts_buffers(rng, cfg.payload_bytes_per_frame,
+                       n_rounds * n_streams)
     states = [txt2.init_state(cfg) for _ in range(n_streams)]
-    n_iter = 8
-    dt = _pipeline_bench(fn, bufs, states, n_streams, n_iter, warmup=2)
-    msps = (n_iter * n_streams * txt2.samples_per_frame(cfg)) / dt / 1e6
+    dt = timed_stream(fn, bufs, states, warmup=warmup)
+    n_timed = (n_rounds - warmup) * n_streams
+    msps = n_timed * txt2.samples_per_frame(cfg) / dt / 1e6
     metrics.emit("dvbt2_32k_bbc_iq_throughput", round(msps, 3),
                  unit="Msamples/s/chip",
                  vs_baseline=round(msps / DVBT_FLOOR_MSPS, 3))
@@ -109,19 +112,21 @@ def bench_j83b(metrics) -> None:
     import jax
     from dtv_utils_tpu.core.config import J83bConfig
     from dtv_utils_tpu.tx import j83b as txq
+    from dtv_utils_tpu.utils.timing import timed_stream
 
     cfg = J83bConfig()
     fn = jax.jit(lambda ts, st: txq.modulate_superblock(cfg, ts, st),
                  donate_argnums=(1,))
-    n_streams = 4
+    n_streams, n_rounds, warmup = 4, 12, 2
     rng = np.random.default_rng(2)
-    bufs = _ts_buffers(rng, txq.PACKETS_PER_SUPERBLOCK * 188, 4 * n_streams)
+    bufs = _ts_buffers(rng, txq.PACKETS_PER_SUPERBLOCK * 188,
+                       n_rounds * n_streams)
     states = [txq.init_state(cfg) for _ in range(n_streams)]
-    out0, states[0] = fn(bufs[0], states[0])
+    out0, _st = fn(bufs[0], txq.init_state(cfg))
     samples = int(out0.shape[0])      # IQ pairs per superblock (3,612,420)
-    n_iter = 10
-    dt = _pipeline_bench(fn, bufs, states, n_streams, n_iter)
-    msps = n_iter * n_streams * samples / dt / 1e6
+    dt = timed_stream(fn, bufs, states, warmup=warmup)
+    n_timed = (n_rounds - warmup) * n_streams
+    msps = n_timed * samples / dt / 1e6
     metrics.emit("j83b_qam64_iq_throughput", round(msps, 3),
                  unit="Msamples/s/chip",
                  vs_baseline=round(msps / J83B_FLOOR_MSPS, 3))
@@ -131,34 +136,43 @@ def bench_papr(metrics) -> None:
     import jax
     import jax.numpy as jnp
     from dtv_utils_tpu.analysis import papr
+    from dtv_utils_tpu.utils.timing import timed_stream
 
-    n_complex = 1 << 24                       # 16M complex = 128 MiB f32
+    n_complex = 1 << 26                       # 64M complex = 512 MiB f32
+    n_rounds, warmup = 6, 2
     rng = np.random.default_rng(3)
     bufs = [jax.device_put(jnp.asarray(
         rng.standard_normal(2 * n_complex, dtype=np.float32)))
-        for _ in range(2)]
-    out = None
-    for b in bufs:                            # compile + warm
-        out = papr._pass1_chunk(b)
-    jax.block_until_ready(out)
-    n_iter = 10
-    t0 = time.perf_counter()
-    outs = [papr._pass1_chunk(bufs[i % 2]) for i in range(n_iter)]
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-    gsas = n_iter * n_complex / dt / 1e9
+        for _ in range(n_rounds)]
+    fn = lambda raw, st: (papr._pass1_chunk(raw)[0], st)   # noqa: E731
+    dt = timed_stream(fn, bufs, [None], warmup=warmup)
+    gsas = (n_rounds - warmup) * n_complex / dt / 1e9
     metrics.emit("papr_scan_throughput", round(gsas, 3), unit="GSa/s/chip",
                  vs_baseline=round(gsas, 3))
 
 
-def main() -> None:
+def _run_inproc(name: str) -> None:
     from dtv_utils_tpu.utils.metrics import Metrics
-    metrics = Metrics(suppress_human=True)
-    bench_dvbt(metrics)
-    bench_dvbt2(metrics)
-    bench_j83b(metrics)
-    bench_papr(metrics)
+    globals()["bench_" + name](Metrics(suppress_human=True))
+
+
+def main() -> None:
+    # Each metric in its own process: a clean backend session per
+    # measurement (see module docstring), and one bench crashing cannot
+    # take down the others.
+    for name in ("dvbt", "dvbt2", "j83b", "papr"):
+        r = subprocess.run(
+            [sys.executable, __file__, "--inproc", name], text=True,
+            capture_output=True, timeout=1800)
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+        if r.returncode != 0:
+            print(r.stderr[-2000:], file=sys.stderr)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--inproc":
+        _run_inproc(sys.argv[2])
+    else:
+        main()

@@ -37,24 +37,31 @@ def _power_f32(i: jax.Array, q: jax.Array) -> jax.Array:
     return ii + qq
 
 
+_STAT_KEYS = ("peak", "real_pos", "real_neg", "imag_pos", "imag_neg")
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _pass1_chunk(raw: jax.Array):
     """Stats of one chunk (raw = interleaved IQ float32 [2n]): everything
-    the reference's first pass reports.  Taking the interleaved buffer
-    directly avoids a strided host-side split; the deinterleave is a device
-    slice.  Indices are chunk-local; the streaming combiner rebases them.
-    """
-    i = raw[0::2]
-    q = raw[1::2]
+    the reference's first pass reports, PACKED into two small arrays
+    (vals [5] f32, idxs [5] i32 — order _STAT_KEYS).  Taking the
+    interleaved buffer directly avoids a strided host-side split; the
+    deinterleave is a [n, 2] column read (a plain reshape — the 0::2
+    strided-slice form lowered to gathers).  One packed result = one
+    host transfer per chunk on remote backends, and fewer output buffers
+    (large output counts hit a pathological dispatch path on the tunnel
+    backend after large programs have run — see bench.py).  Indices are
+    chunk-local; the streaming combiner rebases them."""
+    r2 = raw.reshape(-1, 2)
+    i = r2[:, 0]
+    q = r2[:, 1]
     power = _power_f32(i, q)
     peak_idx = jnp.argmax(power)
-    return dict(
-        peak=power[peak_idx], peak_idx=peak_idx,
-        real_pos=jnp.max(i), real_pos_idx=jnp.argmax(i),
-        real_neg=jnp.min(i), real_neg_idx=jnp.argmin(i),
-        imag_pos=jnp.max(q), imag_pos_idx=jnp.argmax(q),
-        imag_neg=jnp.min(q), imag_neg_idx=jnp.argmin(q),
-    )
+    vals = jnp.stack([power[peak_idx], jnp.max(i), jnp.min(i),
+                      jnp.max(q), jnp.min(q)])
+    idxs = jnp.stack([peak_idx, jnp.argmax(i), jnp.argmin(i),
+                      jnp.argmax(q), jnp.argmin(q)]).astype(jnp.int32)
+    return vals, idxs
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -92,19 +99,20 @@ class PaprStats:
         self.imag_neg = 0.0
         self.imag_neg_offset = 0
 
-    def update(self, chunk_stats: dict, base: int):
-        # ONE transfer for all ten scalars — a per-value fetch costs a full
-        # round trip each on remote-device backends
-        s = jax.device_get(chunk_stats)
-        if float(s["peak"]) > self.peak:
-            self.peak = float(s["peak"])
-            self.peak_offset = base + int(s["peak_idx"])
+    def update(self, chunk_stats: tuple, base: int):
+        # ONE transfer for the packed (vals, idxs) pair — per-value fetches
+        # cost a full round trip each on remote-device backends
+        vals, idxs = jax.device_get(chunk_stats)
+        s = dict(zip(_STAT_KEYS, zip(vals.tolist(), idxs.tolist())))
+        if s["peak"][0] > self.peak:
+            self.peak = s["peak"][0]
+            self.peak_offset = base + int(s["peak"][1])
         for rail, cmp in (("real_pos", 1), ("real_neg", -1),
                           ("imag_pos", 1), ("imag_neg", -1)):
-            v = float(s[rail])
+            v, idx = s[rail]
             if cmp * v > cmp * getattr(self, rail):
                 setattr(self, rail, v)
-                setattr(self, rail + "_offset", base + int(s[rail + "_idx"]))
+                setattr(self, rail + "_offset", base + int(idx))
 
     @property
     def mean_power(self) -> float:

@@ -59,17 +59,27 @@ _LDPC_PROFILE = {0: (3, 12), 1: (30, 8), 2: (36, 12), 3: (12, 13),
                  4: (18, 12), 5: (18, 11), 6: (15, 13)}
 
 
+_RATE_FRACTION = {0: (1, 4), 1: (1, 2), 2: (3, 5), 3: (2, 3),
+                  4: (3, 4), 5: (4, 5), 6: (5, 6)}
+
+
 @functools.cache
 def ldpc_accumulator_rows(rate_idx: int, nldpc: int, nbch: int,
                           ) -> tuple[tuple[int, ...], ...]:
     """Parity-accumulator address table: one row of addresses per 360-bit
     information group (annex A shape).
 
-    PARITY-RISK stand-in: addresses are drawn from a seeded PRNG with the
-    standard's structure (every address < n_parity, degree profile above).
-    Replace with the annex tables for standard-compliant codewords; the
-    encoder consumes this table generically either way.
+    Loads the real annex-A table from dtv_utils_tpu/data/t2/ when installed
+    (structurally validated — see tx/t2_annex.py).  PARITY-RISK fallback:
+    addresses drawn from a seeded PRNG with the standard's structure (every
+    address < n_parity, degree profile above); the encoder consumes this
+    table generically either way.
     """
+    from dtv_utils_tpu.tx import t2_annex
+    num, den = _RATE_FRACTION[rate_idx]
+    loaded = t2_annex.ldpc_rows(nldpc, num, den, nbch)
+    if loaded is not None:
+        return loaded
     n_parity = nldpc - nbch
     n_groups = nbch // 360
     n_high, deg_high = _LDPC_PROFILE[rate_idx]
@@ -352,17 +362,23 @@ def frame_plan(cfg: Dvbt2Config):
     dx, dy = cfg.pilot_pattern.dx, cfg.pilot_pattern.dy
     p2_mod = 6 if cfg.fft_size == 32768 else 3
 
+    from dtv_utils_tpu.tx import t2_annex
     rng = np.random.default_rng(0x7E57 ^ cfg.fft_size)
-    # stand-in continual pilots: spread over the band, never edges
-    cp_set = np.sort(rng.choice(
-        np.arange(7, K - 7), size=_CP_STANDIN_COUNT[cfg.fft_size],
-        replace=False))
+    # continual pilots: annex data file when installed, else stand-in
+    # spread over the band, never edges
+    cp_set = t2_annex.continual_pilots(cfg.fft_size, K)
+    if cp_set is None:
+        cp_set = np.sort(rng.choice(
+            np.arange(7, K - 7), size=_CP_STANDIN_COUNT[cfg.fft_size],
+            replace=False))
 
-    # stand-in P2 TR reservation: C_P2 tables already exclude TR_CELLS
+    # P2 TR reservation: C_P2 tables already exclude TR_CELLS
     from dtv_utils_tpu.rates.dvbt2 import TR_CELLS
     n_tr = TR_CELLS[cfg.fft_size]
-    p2_nonpilot = np.asarray([k for k in range(K) if k % p2_mod != 0])
-    tr_p2 = p2_nonpilot[:: max(len(p2_nonpilot) // n_tr, 1)][:n_tr]
+    tr_p2 = t2_annex.tr_positions(cfg.fft_size, K, n_tr, p2=True)
+    if tr_p2 is None:
+        p2_nonpilot = np.asarray([k for k in range(K) if k % p2_mod != 0])
+        tr_p2 = p2_nonpilot[:: max(len(p2_nonpilot) // n_tr, 1)][:n_tr]
 
     # TR reservation on data/FC symbols (§9.6.2 / annex H): when PAPR TR is
     # active the cell budget loses TR_CELLS per data and FC symbol (exactly
@@ -373,13 +389,15 @@ def frame_plan(cfg: Dvbt2Config):
     # != 0 so the set never collides with a scattered pilot at any symbol
     # phase, and the continual-pilot/edge carriers are excluded.
     if cfg.papr_tr:
-        cp_lookup = set(cp_set.tolist())
-        cand = np.asarray([k for k in range(7, K - 7)
-                           if k % dx != 0 and k not in cp_lookup])
-        # pseudo-random (not strided): an evenly spaced set would make the
-        # TR kernel a picket-fence impulse train that creates new peaks
-        tr_rng = np.random.default_rng(0x7A9 ^ cfg.fft_size)
-        tr_data = np.sort(tr_rng.choice(cand, size=n_tr, replace=False))
+        tr_data = t2_annex.tr_positions(cfg.fft_size, K, n_tr, p2=False)
+        if tr_data is None:
+            cp_lookup = set(cp_set.tolist())
+            cand = np.asarray([k for k in range(7, K - 7)
+                               if k % dx != 0 and k not in cp_lookup])
+            # pseudo-random (not strided): an evenly spaced set would make
+            # the TR kernel a picket-fence impulse train creating new peaks
+            tr_rng = np.random.default_rng(0x7A9 ^ cfg.fft_size)
+            tr_data = np.sort(tr_rng.choice(cand, size=n_tr, replace=False))
         assert len(set(tr_data.tolist())) == n_tr
     else:
         tr_data = np.empty(0, dtype=np.int64)
