@@ -138,8 +138,12 @@ def bench_papr(metrics) -> None:
     from dtv_utils_tpu.analysis import papr
     from dtv_utils_tpu.utils.timing import timed_stream
 
-    n_complex = 1 << 26                       # 64M complex = 512 MiB f32
-    n_rounds, warmup = 6, 2
+    # 256M complex = 2 GiB per dispatch: the tunnel backend has a ~8 ms
+    # per-dispatch execution overhead that does not pipeline, so throughput
+    # is only measurable with large work per dispatch (4 buffers = 8 GiB
+    # resident; v5e has 16 GiB HBM)
+    n_complex = 1 << 28
+    n_rounds, warmup = 4, 1
     rng = np.random.default_rng(3)
     bufs = [jax.device_put(jnp.asarray(
         rng.standard_normal(2 * n_complex, dtype=np.float32)))

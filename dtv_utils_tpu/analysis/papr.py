@@ -39,25 +39,42 @@ def _power_f32(i: jax.Array, q: jax.Array) -> jax.Array:
 
 _STAT_KEYS = ("peak", "real_pos", "real_neg", "imag_pos", "imag_neg")
 
+# Deinterleave layout: [rows, 256] float32.  The minor dimension maps to
+# the 128 vector lanes twice over, so the even/odd column slice is a lane
+# shuffle — NOT a gather, and NOT a [n, 2] reshape (TPU tiling pads the
+# minor dim to 128 lanes: a materialized f32[n,2] allocation is 64x the
+# data; observed as a 512 MiB buffer demanding a 32 GiB allocation).
+_LANE = 256
+
+
+def _pad_to_lanes(raw: np.ndarray) -> np.ndarray:
+    """Pad an even-length interleaved buffer to a _LANE multiple by
+    repeating the first IQ pair: duplicates can never win a strict-
+    improvement max/min (first occurrence keeps the smaller index)."""
+    rem = (-len(raw)) % _LANE
+    if rem == 0:
+        return raw
+    pad = np.tile(raw[:2], rem // 2)
+    return np.concatenate([raw, pad])
+
 
 @functools.partial(jax.jit, static_argnames=())
 def _pass1_chunk(raw: jax.Array):
-    """Stats of one chunk (raw = interleaved IQ float32 [2n]): everything
-    the reference's first pass reports, PACKED into two small arrays
-    (vals [5] f32, idxs [5] i32 — order _STAT_KEYS).  Taking the
-    interleaved buffer directly avoids a strided host-side split; the
-    deinterleave is a [n, 2] column read (a plain reshape — the 0::2
-    strided-slice form lowered to gathers).  One packed result = one
-    host transfer per chunk on remote backends, and fewer output buffers
-    (large output counts hit a pathological dispatch path on the tunnel
-    backend after large programs have run — see bench.py).  Indices are
-    chunk-local; the streaming combiner rebases them."""
-    r2 = raw.reshape(-1, 2)
-    i = r2[:, 0]
-    q = r2[:, 1]
+    """Stats of one chunk (raw = interleaved IQ float32, length a multiple
+    of _LANE): everything the reference's first pass reports, PACKED into
+    two small arrays (vals [5] f32, idxs [5] i32 — order _STAT_KEYS).  One
+    packed result = one host transfer per chunk on remote backends, and
+    fewer output buffers (large output counts hit a pathological dispatch
+    path on the tunnel backend after large programs have run — see
+    bench.py).  Indices are chunk-local complex indices (argmax of the
+    row-major [rows, 128] views = flat complex index); the streaming
+    combiner rebases them."""
+    r = raw.reshape(-1, _LANE)
+    i = r[:, 0::2]                    # [rows, 128]: lane-local shuffle
+    q = r[:, 1::2]
     power = _power_f32(i, q)
-    peak_idx = jnp.argmax(power)
-    vals = jnp.stack([power[peak_idx], jnp.max(i), jnp.min(i),
+    peak_idx = jnp.argmax(power)      # flat over [rows*128] = complex index
+    vals = jnp.stack([power.reshape(-1)[peak_idx], jnp.max(i), jnp.min(i),
                       jnp.max(q), jnp.min(q)])
     idxs = jnp.stack([peak_idx, jnp.argmax(i), jnp.argmin(i),
                       jnp.argmax(q), jnp.argmin(q)]).astype(jnp.int32)
@@ -66,11 +83,15 @@ def _pass1_chunk(raw: jax.Array):
 
 @functools.partial(jax.jit, static_argnames=())
 def _pass2_chunk(raw: jax.Array, levels: jax.Array):
-    """Count of samples with power strictly above each ascending level."""
-    i = raw[0::2]
-    q = raw[1::2]
+    """Count of samples with power strictly above each ascending level.
+    Zero-padded tails are safe: power 0 lands in the below-every-level bin
+    which the suffix sum excludes."""
+    r = raw.reshape(-1, _LANE)
+    i = r[:, 0::2]
+    q = r[:, 1::2]
     power = _power_f32(i, q)
-    idx = jnp.searchsorted(levels, power, side="left")  # #levels < power
+    idx = jnp.searchsorted(levels, power.reshape(-1),
+                           side="left")                 # #levels < power
     hist = jnp.bincount(idx, length=levels.shape[0] + 1)
     # counts[j] = sum_{m > j} hist[m]
     suffix = jnp.cumsum(hist[::-1])[::-1]
@@ -171,7 +192,7 @@ def _iter_chunks(path: str, chunk_complex: int):
 def analyze_file(path: str, chunk_complex: int = 1 << 22) -> PaprStats:
     stats = PaprStats()
     for raw, base in _iter_chunks(path, chunk_complex):
-        stats.update(_pass1_chunk(jnp.asarray(raw)), base)
+        stats.update(_pass1_chunk(jnp.asarray(_pad_to_lanes(raw))), base)
         # The f64 power accumulation runs on the HOST: numpy's f32 multiply
         # rounds exactly like the C tool's, and f64 accumulation of f32
         # power values is exact at any realistic file size (24-bit addends,
@@ -189,6 +210,9 @@ def ccdf_counts(path: str, levels: np.ndarray,
     counts = np.zeros(len(levels), dtype=np.int64)
     lv = jnp.asarray(levels.astype(np.float32))
     for raw, _ in _iter_chunks(path, chunk_complex):
+        rem = (-len(raw)) % _LANE
+        if rem:
+            raw = np.concatenate([raw, np.zeros(rem, np.float32)])
         counts += np.asarray(_pass2_chunk(jnp.asarray(raw), lv))
     return counts
 

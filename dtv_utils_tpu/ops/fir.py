@@ -25,7 +25,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 HALO = 128           # lane width (min lane-divisible size ≥ ntaps//2-1 = 49)
-TILE = 16384         # lanes per grid step (x2 rows x f32 ≈ 128 KB in VMEM)
+# Lanes per grid step.  16384 (128 KB/tile) crashes the deployment's AOT
+# compile helper on the full 25x2-tap unrolled kernel (minimized round 3:
+# 16 taps @ 16384 compiles, 25 @ 16384 dies, 25 @ 4096 compiles and runs
+# bit-exactly) — a Mosaic compile-resource cliff, not a kernel error.
+TILE = 4096
 
 
 def _kernel(x_ref, xs_ref, out_ref, *, taps0, taps1, tile):
@@ -68,14 +72,15 @@ def _interp2(x_padded: jax.Array, taps0: tuple, taps1: tuple,
 
 
 def pallas_enabled() -> bool:
-    """The Pallas FIR is opt-in on TPU (DTV_PALLAS_FIR=1): the current
-    remote-tunnel deployment's AOT compile helper builds small Mosaic
-    kernels but crashes on the 50-tap unrolled FIR (subprocess exit 1) —
-    an infrastructure limit, not a kernel error (the kernel is validated
-    against the XLA formulation in interpret mode by the test suite).  On
-    directly-attached TPU hosts set DTV_PALLAS_FIR=1."""
+    """Whether the J.83B RRC uses the Pallas kernel on TPU (default: yes;
+    set DTV_PALLAS_FIR=0 to force the XLA conv formulation).
+
+    Round-2 note ("AOT helper crashes on the 50-tap unrolled FIR") was a
+    TILE=16384 compile-resource cliff; at TILE=4096 the full kernel
+    compiles and runs on the remote-tunnel deployment (see TILE above),
+    validated bit-exact against the XLA formulation on-device."""
     import os
-    return os.environ.get("DTV_PALLAS_FIR", "0") == "1"
+    return os.environ.get("DTV_PALLAS_FIR", "1") != "0"
 
 
 def polyphase_interp2(ext_rows: jax.Array, taps: np.ndarray,

@@ -53,10 +53,32 @@ def _peaks():
     return CHIP_PEAKS.get(getattr(d, "device_kind", ""), None)
 
 
-def profile_fn(name: str, fn, args, min_time_s: float = 0.2,
-               max_iter: int = 64) -> StageReport:
-    """Compile ``fn(*args)``, read its cost analysis, and time it."""
+def _arg_variants(args, n: int):
+    """n distinct device-resident copies of an argument pytree: leaf arrays
+    rolled by i along axis 0 (same shapes/dtypes/cost, different buffers
+    and values).  Needed because the axon tunnel backend MEMOIZES
+    dispatches — re-timing the same (executable, buffers) pair measures a
+    cache hit (see utils/timing.py)."""
     import jax
+
+    def mk(i):
+        def roll(leaf):
+            arr = np.asarray(leaf)
+            if arr.ndim == 0:
+                return leaf
+            return jax.device_put(np.roll(arr, i, axis=0))
+        return jax.tree_util.tree_map(roll, args)
+    return [mk(i) for i in range(n)]
+
+
+def profile_fn(name: str, fn, args, n_variants: int = 6) -> StageReport:
+    """Compile ``fn(*args)``, read its cost analysis, and time it with
+    execution-forced dispatches: one distinct pre-staged input per timed
+    call and a probe chain fetched inside the timed region (the backend is
+    lazy — block_until_ready alone measures enqueue only)."""
+    import jax
+
+    from dtv_utils_tpu.utils.timing import _probe
 
     jfn = jax.jit(fn)
     lowered = jfn.lower(*args)
@@ -70,17 +92,19 @@ def profile_fn(name: str, fn, args, min_time_s: float = 0.2,
         bytes_ = float(ca.get("bytes accessed", 0.0))
     except Exception:
         pass
-    out = compiled(*args)
-    jax.block_until_ready(out)
-    # calibrate iteration count to ~min_time_s
+    variants = _arg_variants(args, n_variants)
+    acc = jax.numpy.float32(0)
+    for leaf in jax.tree_util.tree_leaves(compiled(*variants[0])):
+        acc = _probe(acc, leaf)
+    float(acc)                              # warm + force compile/transfer
+    acc = jax.numpy.float32(0)
+    n = len(variants) - 1
     t0 = time.perf_counter()
-    jax.block_until_ready(compiled(*args))
-    once = max(time.perf_counter() - t0, 1e-6)
-    n = int(np.clip(min_time_s / once, 3, max_iter))
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = compiled(*args)
-    jax.block_until_ready(out)
+    for v in variants[1:]:
+        out = compiled(*v)
+        for leaf in jax.tree_util.tree_leaves(out):
+            acc = _probe(acc, leaf)
+    float(acc)                              # forces every timed dispatch
     ms = (time.perf_counter() - t0) / n * 1e3
 
     peaks = _peaks()
@@ -182,7 +206,27 @@ def j83b_stages(cfg=None) -> list[StageReport]:
     ]
 
 
-CHAINS = {"dvbt": dvbt_stages, "dvbt2": dvbt2_stages, "j83b": j83b_stages}
+def papr_stages(cfg=None) -> list[StageReport]:
+    """Stage profile of the PAPR analyzer's device scans (16M-complex
+    chunk, the bench_papr shape)."""
+    import jax.numpy as jnp
+
+    from dtv_utils_tpu.analysis import papr as pp
+
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.standard_normal(1 << 25, dtype=np.float32))
+    levels = jnp.asarray(np.power(10.0, np.arange(11) / 10.0)
+                         .astype(np.float32))
+    return [
+        profile_fn("pass1 (power+peaks+rails)",
+                   lambda r: pp._pass1_chunk(r), (raw,)),
+        profile_fn("pass2 (ccdf histogram)",
+                   lambda r, lv: pp._pass2_chunk(r, lv), (raw, levels)),
+    ]
+
+
+CHAINS = {"dvbt": dvbt_stages, "dvbt2": dvbt2_stages, "j83b": j83b_stages,
+          "papr": papr_stages}
 
 
 def format_table(reports: list[StageReport]) -> str:
