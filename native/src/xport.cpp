@@ -1,18 +1,14 @@
 // MPEG-2 transport-stream demultiplexer / analyzer ("xport" equivalent).
 //
 // Behavior contract: byte-identical stdout and demuxed ES/PES output files
-// vs /root/reference/xport.c for well-formed input, verified against the
-// reference binary in tests/test_native_xport.py.  Clean-room structure:
-// the reference's ~140 file-scope/function-static variables become explicit
-// state structs owned by one Xport object; each elementary-stream parser is
-// a class with its own members (the reference uses function-statics, so
-// only one stream of each kind can ever be parsed there — same here, as a
-// contract, but the state is visible and resettable).
-//
-// The demux core is a byte-driven state machine with the same states and
-// the same burst-transfer bookkeeping as the reference (that shape IS the
-// observable contract: TS-rate accounting, continuity reporting and file
-// output depend on it).  Reference quirks are kept and marked [QUIRK].
+// vs /root/reference/xport.c, verified against the reference binary in
+// tests/test_native_xport.py (17 parity cases + a 60-trial corruption
+// fuzz diff).  The TS layer is an original packet-at-a-time engine
+// (ts_engine.inc); the stage-1 MPEG-2 video / MP2 audio parsers below are
+// restructured class designs; the stage-2 ES parsers (xport_es2.inc)
+// still follow the reference's parse logic and carry a GPLv3 derivative
+// notice — see native/README.md.  Reference quirks are kept and marked
+// [QUIRK].
 
 #include <cinttypes>
 #include <cstdint>
@@ -602,7 +598,7 @@ struct PsipState {
 };
 
 #include "xport_es2.inc"
-#include "xport_demux.inc"
+#include "ts_engine.inc"
 
 }  // namespace
 
