@@ -104,6 +104,11 @@ def cmd_profile(argv: list[str]) -> int:
     return profile.cli(argv)
 
 
+def cmd_dvbt_rx(argv: list[str]) -> int:
+    from dtv_utils_tpu.models import dvbt_rx
+    return dvbt_rx.cli(argv)
+
+
 COMMANDS = {
     "dvbtrate": cmd_dvbtrate,
     "dvbs2rate": cmd_dvbs2rate,
@@ -118,6 +123,7 @@ COMMANDS = {
     "l1dump": cmd_l1dump,
     "xport": cmd_xport,
     "profile": cmd_profile,
+    "dvbt-rx": cmd_dvbt_rx,
 }
 
 

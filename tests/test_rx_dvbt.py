@@ -1,0 +1,175 @@
+"""Receive-side tests: FEC decoders + full DVB-T modulate→demodulate loop.
+
+The reference validates its TX chains with real consumer receivers
+(/root/reference/README:26-28); rx/ closes that loop in software, so these
+tests are the framework's integration proof of decodability.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dtv_utils_tpu.core.config import (CodeRate, Constellation, DvbtConfig,
+                                       GuardInterval, TransmissionMode)
+from dtv_utils_tpu.ops.convcode import conv_encode, puncture_indices
+from dtv_utils_tpu.ops.rs import DVBT_RS
+from dtv_utils_tpu.ops.rs_decode import DVBT_RS_DEC, RsDecoder
+from dtv_utils_tpu.ops.viterbi import viterbi_decode_punctured
+from dtv_utils_tpu.tx.dvbt import modulate_stream
+from dtv_utils_tpu.rx.dvbt import demodulate_stream
+
+ALL_RATES = [(1, 2), (2, 3), (3, 4), (5, 6), (7, 8)]
+
+
+@pytest.mark.parametrize("rate", ALL_RATES)
+def test_viterbi_clean_roundtrip(rate):
+    rng = np.random.default_rng(0)
+    n = rate[0] * 2000
+    bits = rng.integers(0, 2, n).astype(np.uint8)
+    enc = conv_encode(jnp.asarray(bits), jnp.zeros(6, jnp.uint8))
+    kept = np.asarray(enc).reshape(-1)[puncture_indices(rate, n)]
+    llr = jnp.asarray(1.0 - 2.0 * kept.astype(np.float32))
+    dec = np.asarray(viterbi_decode_punctured(llr, rate, block=512))
+    np.testing.assert_array_equal(dec, bits)
+
+
+def test_viterbi_corrects_noise():
+    rng = np.random.default_rng(1)
+    rate = (1, 2)
+    bits = rng.integers(0, 2, 6000).astype(np.uint8)
+    enc = conv_encode(jnp.asarray(bits), jnp.zeros(6, jnp.uint8))
+    kept = np.asarray(enc).reshape(-1)[puncture_indices(rate, 6000)]
+    llr = 1.0 - 2.0 * kept.astype(np.float32)
+    llr += rng.normal(0, 0.5, llr.shape).astype(np.float32)   # heavy AWGN
+    dec = np.asarray(viterbi_decode_punctured(jnp.asarray(llr), rate,
+                                              block=512))
+    np.testing.assert_array_equal(dec, bits)
+
+
+def test_viterbi_block_seams_invisible():
+    """Block-parallel result must be identical for different block sizes
+    (the overlap-truncation argument, checked explicitly)."""
+    rng = np.random.default_rng(2)
+    rate = (3, 4)
+    n = 3 * 4000
+    bits = rng.integers(0, 2, n).astype(np.uint8)
+    enc = conv_encode(jnp.asarray(bits), jnp.zeros(6, jnp.uint8))
+    kept = np.asarray(enc).reshape(-1)[puncture_indices(rate, n)]
+    llr = 1.0 - 2.0 * kept.astype(np.float32)
+    llr += rng.normal(0, 0.4, llr.shape).astype(np.float32)
+    outs = [np.asarray(viterbi_decode_punctured(jnp.asarray(llr), rate,
+                                                block=b))
+            for b in (256, 1024, 4096)]
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[1], outs[2])
+
+
+def test_rs_decoder_corrects_to_t():
+    rng = np.random.default_rng(3)
+    enc, dec = DVBT_RS(), DVBT_RS_DEC()
+    msgs = rng.integers(0, 256, (32, 188)).astype(np.uint8)
+    cw = np.asarray(enc.encode_bytes(jnp.asarray(msgs)))
+    nerrs = rng.integers(0, 9, 32)          # 0..8 = t errors
+    corrupt = cw.copy()
+    for p in range(32):
+        pos = rng.choice(204, size=nerrs[p], replace=False)
+        corrupt[p, pos] ^= rng.integers(1, 256, nerrs[p]).astype(np.uint8)
+    out, ne, ok = dec.decode_bytes(jnp.asarray(corrupt))
+    np.testing.assert_array_equal(np.asarray(out), cw)
+    np.testing.assert_array_equal(np.asarray(ne), nerrs)
+    assert np.asarray(ok).all()
+
+
+def test_rs_decoder_flags_uncorrectable():
+    rng = np.random.default_rng(4)
+    enc, dec = DVBT_RS(), DVBT_RS_DEC()
+    msgs = rng.integers(0, 256, (16, 188)).astype(np.uint8)
+    cw = np.asarray(enc.encode_bytes(jnp.asarray(msgs)))
+    corrupt = cw.copy()
+    for p in range(16):
+        pos = rng.choice(204, size=12, replace=False)   # > t errors
+        corrupt[p, pos] ^= rng.integers(1, 256, 12).astype(np.uint8)
+    _, _, ok = dec.decode_bytes(jnp.asarray(corrupt))
+    assert not np.asarray(ok).any()
+
+
+def test_rs_decoder_gf128():
+    """Generic decoder on the J.83B field (RS over GF(128), t=2)."""
+    from dtv_utils_tpu.core.galois import GF128
+    from dtv_utils_tpu.ops.rs import RsBitEncoder
+    rng = np.random.default_rng(5)
+    enc = RsBitEncoder(GF128, k_sym=20, nroots=4, first_root=1)
+    dec = RsDecoder(GF128, k_sym=20, nroots=4, first_root=1)
+    msgs = rng.integers(0, 128, (8, 20)).astype(np.int64)
+    par = enc.gf.rs_encode_ref(msgs, enc.genpoly)
+    cw = np.concatenate([msgs, par], axis=-1)
+    corrupt = cw.copy()
+    for p in range(8):
+        pos = rng.choice(24, size=p % 3, replace=False)
+        corrupt[p, pos] ^= rng.integers(1, 128, p % 3)
+    out, ne, ok = dec.decode_words(jnp.asarray(corrupt))
+    np.testing.assert_array_equal(np.asarray(out), cw)
+    assert np.asarray(ok).all()
+
+
+# ---------------------------------------------------------------------------
+# Full-chain integration
+# ---------------------------------------------------------------------------
+
+CFG = DvbtConfig(mode=TransmissionMode.M2K, bandwidth_mhz=6,
+                 constellation=Constellation.QPSK, code_rate=CodeRate.R1_2,
+                 guard=GuardInterval.G1_4)
+
+
+def _ts(cfg, n_superframes, seed=7):
+    rng = np.random.default_rng(seed)
+    ts = rng.integers(0, 256,
+                      cfg.ts_bytes_per_superframe * n_superframes
+                      ).astype(np.uint8)
+    ts.reshape(-1, 188)[:, 0] = 0x47
+    return ts
+
+
+def test_dvbt_roundtrip_clean():
+    ts = _ts(CFG, 2)
+    iq, _ = modulate_stream(CFG, ts)
+    res = demodulate_stream(CFG, iq)
+    n = len(res.ts)
+    assert n > 0 and n % 188 == 0
+    np.testing.assert_array_equal(res.ts, ts[:n])
+    assert res.rs_ok.all() and res.rs_errors.sum() == 0
+    assert res.phase_ok
+    assert res.tps["all_bch_ok"]
+    # TPS content matches the transmit config
+    fr = res.tps["frames"][0]
+    assert fr["constellation"] == 0 and fr["code_rate_hp"] == 0
+    assert fr["guard"] == 3 and fr["mode"] == 0 and fr["sync"] == "odd"
+
+
+def test_dvbt_roundtrip_64qam_78():
+    cfg = DvbtConfig(mode=TransmissionMode.M2K, bandwidth_mhz=8,
+                     constellation=Constellation.QAM64,
+                     code_rate=CodeRate.R7_8, guard=GuardInterval.G1_32)
+    ts = _ts(cfg, 2)
+    iq, _ = modulate_stream(cfg, ts)
+    res = demodulate_stream(cfg, iq)
+    n = len(res.ts)
+    np.testing.assert_array_equal(res.ts, ts[:n])
+    assert res.rs_ok.all() and res.tps["all_bch_ok"]
+
+
+def test_dvbt_roundtrip_awgn():
+    """QPSK 1/2 at 6 dB SNR: inner+outer FEC must deliver an exact TS."""
+    ts = _ts(CFG, 2)
+    iq, _ = modulate_stream(CFG, ts)
+    rng = np.random.default_rng(11)
+    sig_p = np.mean(np.abs(iq) ** 2)
+    np_ = sig_p / 10 ** (6.0 / 10)
+    noise = (rng.normal(0, np.sqrt(np_ / 2), len(iq))
+             + 1j * rng.normal(0, np.sqrt(np_ / 2), len(iq))
+             ).astype(np.complex64)
+    res = demodulate_stream(CFG, iq + noise)
+    n = len(res.ts)
+    np.testing.assert_array_equal(res.ts, ts[:n])
+    assert res.rs_ok.all()
+    assert res.tps["all_bch_ok"]
