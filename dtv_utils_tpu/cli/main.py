@@ -109,6 +109,16 @@ def cmd_dvbt_rx(argv: list[str]) -> int:
     return dvbt_rx.cli(argv)
 
 
+def cmd_dvbt2_rx(argv: list[str]) -> int:
+    from dtv_utils_tpu.models import rx_cli
+    return rx_cli.dvbt2_rx_cli(argv)
+
+
+def cmd_qam_rx(argv: list[str]) -> int:
+    from dtv_utils_tpu.models import rx_cli
+    return rx_cli.qam_rx_cli(argv)
+
+
 COMMANDS = {
     "dvbtrate": cmd_dvbtrate,
     "dvbs2rate": cmd_dvbs2rate,
@@ -124,6 +134,8 @@ COMMANDS = {
     "xport": cmd_xport,
     "profile": cmd_profile,
     "dvbt-rx": cmd_dvbt_rx,
+    "dvbt2-rx": cmd_dvbt2_rx,
+    "qam-rx": cmd_qam_rx,
 }
 
 

@@ -1,32 +1,35 @@
-"""Block-parallel Viterbi decoder for the K=7 DVB mother code, TPU-native.
+"""Block-parallel Viterbi decoder for rate-1/2 binary convolutional codes
+(+ puncturing), TPU-native.
 
-The reference ecosystem decodes this code bit-serially (a receiver-side
-counterpart of the inner coder the reference instantiates at
-/root/reference/dvbt-blade.py:182).  A serial 64-state trellis walk is the
-worst possible shape for a TPU, so this module uses the standard high-rate
-receiver architecture instead: *block-parallel Viterbi with overlap
-truncation*.  The coded stream is split into B overlapping blocks; every
-block runs its own 64-state add-compare-select recursion with an
-all-equal-metric start, and after ~5K constraint lengths the survivor paths
-of adjacent blocks provably merge, so each block's central region decodes
-exactly as a whole-stream Viterbi would.  On device that is:
+Serves both mother codes in the framework: the DVB-T K=7 inner code
+(receiver-side counterpart of the coder the reference instantiates at
+/root/reference/dvbt-blade.py:182) and the ITU-T J.83B K=5 (25,37) trellis
+component (qam-blade.py:56).  A serial trellis walk is the worst possible
+shape for a TPU, so this module uses the standard high-rate receiver
+architecture instead: *block-parallel Viterbi with overlap truncation*.
+The coded stream is split into B overlapping blocks; every block runs its
+own add-compare-select recursion with an all-equal-metric start, and after
+~5 constraint lengths the survivor paths of adjacent blocks provably
+merge, so each block's central region decodes exactly as a whole-stream
+Viterbi would.  On device that is:
 
-  * one ``lax.scan`` over time, carrying metrics of shape [B, 64] — the ACS
-    step is pure vector math (two static gathers + max), fully parallel over
-    blocks and states;
-  * survivor decisions bit-packed to uint8 [T, B, 8] on the fly (64 bits a
-    step), keeping the traceback memory at 8 bytes/step/block;
+  * one ``lax.scan`` over time, carrying metrics of shape [B, S] — the ACS
+    step is pure vector math (two static gathers + max), fully parallel
+    over blocks and states;
+  * survivor decisions bit-packed to uint8 [T, B, S/8] on the fly, keeping
+    the traceback memory at S/8 bytes/step/block;
   * a reverse ``lax.scan`` traceback, also vectorized over blocks.
 
 Depuncturing is an erasure scatter: punctured positions contribute zero
 branch metric, exactly the soft-decision convention.  Inputs are soft LLRs
-(positive = bit 0), so the same decoder serves hard-decision loopback tests
-(LLR = ±1) and noisy-channel decoding.
+(positive = bit 0), so the same decoder serves hard-decision loopback
+tests (LLR = ±1) and noisy-channel decoding.
 
-State convention matches ops/convcode.py: the encoder register holds the
-last 6 input bits, state s = (d[i-1]..d[i-6]) with d[i-1] at bit 5; the
-7-bit tap window for input b is w = (b << 6) | s, X = parity(w & 0o171),
-Y = parity(w & 0o133), next state = w >> 1.
+State convention matches ops/convcode.py and tx/j83b.py: the encoder
+register holds the last K-1 input bits, state s = (d[i-1]..d[i-K+1]) with
+d[i-1] at the top bit; the K-bit tap window for input b is
+w = (b << (K-1)) | s, outputs are parities of w & g1 / w & g2, and the
+next state is w >> 1.
 """
 
 from __future__ import annotations
@@ -39,9 +42,10 @@ import numpy as np
 
 from dtv_utils_tpu.ops.convcode import PUNCTURE_PATTERNS
 
-_G1_MASK = 0o171
-_G2_MASK = 0o133
-N_STATES = 64
+# DVB-T mother code (EN 300 744 §4.3.3)
+DVBT_K, DVBT_G1, DVBT_G2 = 7, 0o171, 0o133
+# J.83B trellis component code (SCTE 07 §5.5; tx/j83b.py G1/G2_TAPS)
+J83B_K, J83B_G1, J83B_G2 = 5, 0o25, 0o37
 
 # Traceback/merge depth: 5 constraint lengths is the textbook rule; 96 gives
 # a comfortable margin for punctured rates (weaker code → slower merge).
@@ -57,31 +61,33 @@ def _parity(x: np.ndarray) -> np.ndarray:
 
 
 @functools.cache
-def _trellis() -> dict[str, np.ndarray]:
+def _trellis(k: int, g1: int, g2: int) -> dict[str, np.ndarray]:
     """Static transition tables indexed by (next_state ns, a) where a is the
-    bit shifted out of the register (the oldest input bit, d[i-6] of the
+    bit shifted out of the register (the oldest input bit of the
     predecessor)."""
-    ns = np.arange(N_STATES)[:, None]          # [64, 1]
+    n_states = 1 << (k - 1)
+    half = n_states >> 1
+    ns = np.arange(n_states)[:, None]          # [S, 1]
     a = np.arange(2)[None, :]                  # [1, 2]
-    prev = ((ns & 31) << 1) | a                # predecessor state [64, 2]
-    b = ns >> 5                                # input bit of the transition
-    w = (b << 6) | prev                        # 7-bit tap window
-    out_x = 1.0 - 2.0 * _parity(w & _G1_MASK)  # ±1, +1 for coded bit 0
-    out_y = 1.0 - 2.0 * _parity(w & _G2_MASK)
+    prev = ((ns & (half - 1)) << 1) | a        # predecessor state [S, 2]
+    b = ns >> (k - 2)                          # input bit of the transition
+    w = (b << (k - 1)) | prev                  # K-bit tap window
+    out_x = 1.0 - 2.0 * _parity(w & g1)        # ±1, +1 for coded bit 0
+    out_y = 1.0 - 2.0 * _parity(w & g2)
     return dict(prev=prev.astype(np.int32),
                 out_x=out_x.astype(np.float32),
                 out_y=out_y.astype(np.float32),
-                bit=(ns >> 5).astype(np.uint8).repeat(2, 1))
+                n_states=n_states)
 
 
-def depuncture(llr: jnp.ndarray, code_rate: tuple[int, int]) -> jnp.ndarray:
-    """Punctured serial LLR stream [n_kept] -> (x, y) LLR pairs [n_steps, 2]
-    with zeros (erasures) at punctured positions.
+def depuncture_xy(llr: jnp.ndarray, xp: tuple[int, ...], yp: tuple[int, ...]
+                  ) -> jnp.ndarray:
+    """Punctured serial LLR stream [n_kept] -> (x, y) LLR pairs
+    [n_steps, 2] with zeros (erasures) at punctured positions.
 
-    n_kept must be a whole number of puncture periods (the DVB-T superframe
-    budget guarantees this; see ops/convcode.puncture_indices).
+    n_kept must be a whole number of puncture periods (guaranteed per
+    block by the DVB-T superframe / J.83B trellis-group budgets).
     """
-    xp, yp = PUNCTURE_PATTERNS[code_rate]
     period = len(xp)
     kept_per = int(sum(xp) + sum(yp))
     assert llr.shape[0] % kept_per == 0, (llr.shape, kept_per)
@@ -97,48 +103,56 @@ def depuncture(llr: jnp.ndarray, code_rate: tuple[int, int]) -> jnp.ndarray:
     return full.reshape(reps * period, 2)
 
 
-def _acs_scan(pairs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """pairs [T, B, 2] -> (decisions uint8 [T, B, 8] bit-packed, final
-    metrics [B, 64])."""
-    tr = _trellis()
-    prev = jnp.asarray(tr["prev"])            # [64, 2]
-    out_x = jnp.asarray(tr["out_x"])          # [64, 2]
+def depuncture(llr: jnp.ndarray, code_rate: tuple[int, int]) -> jnp.ndarray:
+    """DVB-T convenience: depuncture by EN 300 744 table 3 rate."""
+    xp, yp = PUNCTURE_PATTERNS[code_rate]
+    return depuncture_xy(llr, xp, yp)
+
+
+def _acs_scan(pairs: jnp.ndarray, k: int, g1: int, g2: int):
+    """pairs [T, B, 2] -> (decisions uint8 [T, B, S/8] bit-packed, final
+    metrics [B, S])."""
+    tr = _trellis(k, g1, g2)
+    prev = jnp.asarray(tr["prev"])            # [S, 2]
+    out_x = jnp.asarray(tr["out_x"])          # [S, 2]
     out_y = jnp.asarray(tr["out_y"])
+    n_states = tr["n_states"]
     pack_w = jnp.asarray((1 << np.arange(8)).astype(np.uint8))
     B = pairs.shape[1]
 
     def step(metrics, xy):
-        # metrics [B, 64]; xy [B, 2]
+        # metrics [B, S]; xy [B, 2]
         bm = (xy[:, 0:1, None] * out_x[None] +
-              xy[:, 1:2, None] * out_y[None])        # [B, 64, 2]
-        cand = metrics[:, prev] + bm                 # [B, 64, 2]
-        dec = (cand[..., 1] > cand[..., 0])          # [B, 64] bool
+              xy[:, 1:2, None] * out_y[None])        # [B, S, 2]
+        cand = metrics[:, prev] + bm                 # [B, S, 2]
+        dec = (cand[..., 1] > cand[..., 0])          # [B, S] bool
         new = jnp.max(cand, axis=-1)
         # bound metric growth (LLR magnitudes are bounded; subtracting the
         # per-block max keeps float32 exact over arbitrarily long streams)
         new = new - jnp.max(new, axis=-1, keepdims=True)
-        packed = jnp.sum(dec.reshape(B, 8, 8).astype(jnp.uint8)
+        packed = jnp.sum(dec.reshape(B, n_states // 8, 8).astype(jnp.uint8)
                          * pack_w[None, None, :], axis=-1, dtype=jnp.uint8)
         return new, packed
 
-    metrics0 = jnp.zeros((B, N_STATES), dtype=jnp.float32)
+    metrics0 = jnp.zeros((B, n_states), dtype=jnp.float32)
     final, decs = jax.lax.scan(step, metrics0, pairs)
     return decs, final
 
 
-def _traceback(decs: jnp.ndarray, final: jnp.ndarray) -> jnp.ndarray:
-    """decisions [T, B, 8], final metrics [B, 64] -> decoded bits uint8
+def _traceback(decs: jnp.ndarray, final: jnp.ndarray, k: int) -> jnp.ndarray:
+    """decisions [T, B, S/8], final metrics [B, S] -> decoded bits uint8
     [T, B] (bit at step t is the encoder *input* of step t)."""
     B = final.shape[0]
+    half = 1 << (k - 2)
     start = jnp.argmax(final, axis=-1).astype(jnp.int32)   # [B]
     barange = jnp.arange(B)
 
     def step(state, packed):
         # state [B] int32 = survivor state AFTER this step
-        bit = (state >> 5).astype(jnp.uint8)
+        bit = (state >> (k - 2)).astype(jnp.uint8)
         byte = packed[barange, state >> 3]
         a = (byte >> (state & 7).astype(jnp.uint8)) & 1
-        prev = ((state & 31) << 1) | a.astype(jnp.int32)
+        prev = ((state & (half - 1)) << 1) | a.astype(jnp.int32)
         return prev, bit
 
     _, bits = jax.lax.scan(step, start, decs, reverse=True)
@@ -146,13 +160,14 @@ def _traceback(decs: jnp.ndarray, final: jnp.ndarray) -> jnp.ndarray:
 
 
 def viterbi_decode(llr_pairs: jnp.ndarray, block: int = 4096,
-                   overlap: int = OVERLAP) -> jnp.ndarray:
+                   overlap: int = OVERLAP, k: int = DVBT_K,
+                   g1: int = DVBT_G1, g2: int = DVBT_G2) -> jnp.ndarray:
     """Decode (X, Y) LLR pairs [n, 2] -> input bits uint8 [n].
 
     Assumes the encoder started from the all-zero state at stream position 0
-    (DVB-T superframe streams satisfy this via the explicit carry state).
-    Block-parallel: exact equality with whole-stream Viterbi holds for every
-    bit whose distance to a block seam exceeds the merge depth; with
+    (both chains satisfy this via their explicit carry state).  Block-
+    parallel: exact equality with whole-stream Viterbi holds for every bit
+    whose distance to a block seam exceeds the merge depth; with
     ``overlap`` = 96 >> 5K that is every bit, for any decodable SNR.
     """
     n = llr_pairs.shape[0]
@@ -162,8 +177,8 @@ def viterbi_decode(llr_pairs: jnp.ndarray, block: int = 4096,
     # Head pad: strong zero-bit evidence — consistent with the encoder's
     # all-zero start state (pre-stream steps from state 0 with zero inputs
     # emit X=Y=0).  Tail pad: ERASURES — the final encoder state is the last
-    # 6 data bits, so any non-erasure tail evidence would contradict it and
-    # bias the last few decoded bits.
+    # K-1 data bits, so any non-erasure tail evidence would contradict it
+    # and bias the last few decoded bits.
     head = jnp.full((overlap, 2), 4.0, dtype=jnp.float32)
     tail = jnp.zeros((total - n + overlap, 2), dtype=jnp.float32)
     ext = jnp.concatenate([head, llr_pairs.astype(jnp.float32), tail])
@@ -172,13 +187,13 @@ def viterbi_decode(llr_pairs: jnp.ndarray, block: int = 4096,
     idx = starts[:, None] + np.arange(block + 2 * overlap)[None, :]
     blocks = ext[jnp.asarray(idx)]                    # [B, L, 2]
     pairs = jnp.transpose(blocks, (1, 0, 2))          # [L, B, 2]
-    decs, final = _acs_scan(pairs)
-    bits = _traceback(decs, final)                    # [L, B]
+    decs, final = _acs_scan(pairs, k, g1, g2)
+    bits = _traceback(decs, final, k)                 # [L, B]
     core = bits[overlap:overlap + block].T.reshape(-1)  # drop seams
     return core[:n]
 
 
 def viterbi_decode_punctured(llr: jnp.ndarray, code_rate: tuple[int, int],
                              block: int = 4096) -> jnp.ndarray:
-    """Punctured serial LLR stream -> decoded input bits uint8."""
+    """DVB-T punctured serial LLR stream -> decoded input bits uint8."""
     return viterbi_decode(depuncture(llr, code_rate), block=block)

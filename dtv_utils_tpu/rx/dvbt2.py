@@ -1,0 +1,349 @@
+"""DVB-T2 receiver (EN 302 755), TPU-native.
+
+Inverts the full tx/dvbt2.py chain for one or more T2 frames:
+
+  P1 detect + S1/S2 decode (guard correlation + CSS pattern correlation) →
+  CP strip + forward FFT → frame dis-assembly (the exact inverse of the
+  composed frame gather: frequency de-interleave + data-cell extraction) →
+  L1-pre/L1-post field parse with CRC-32 verification → time/cell
+  de-interleave → Q-delay undo + de-rotation + Gray axis demap → bit
+  de-interleave → LDPC syndrome check → BCH syndrome check → BB descramble
+  → BB header verify (CRC-8) → mode-adaptation undo (sync-byte CRC chain
+  verified, 0x47 restored) → TS.
+
+The FEC here is used as a *validation* instrument (syndrome checks prove
+the emitted frame is a codeword of the loaded tables, exactly what a real
+receiver's decoder would converge to on clean input); soft-decision LDPC
+iteration lives in ops/ldpc_decode.py and is exercised by the FEC tests.
+
+Cited reference behavior: the TX chain parameterization this inverts is
+/root/reference/dvbt2-blade.py:119-131; the reference itself has no
+receiver (consumer hardware closes its loop, README:26-28).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dtv_utils_tpu.core import bits as bitops
+from dtv_utils_tpu.core.config import Dvbt2Config, T2Constellation
+from dtv_utils_tpu.core.galois import gf2_matmul
+from dtv_utils_tpu.core.prbs import bb_scrambler_bits
+from dtv_utils_tpu.ops.cfft import fft_pairs, ifftshift_pairs
+from dtv_utils_tpu.tx import dvbt2 as TX
+from dtv_utils_tpu.tx import dvbt2_tables as T
+from dtv_utils_tpu.tx import t2_p1
+
+
+@dataclass
+class Dvbt2RxResult:
+    ts: np.ndarray            # recovered TS bytes
+    p1_detected: bool         # P1 found at the expected offset in each frame
+    s1: int                   # decoded P1 signalling
+    s2: int
+    l1_pre: dict              # parsed L1-pre fields + CRC status
+    l1_post: dict             # parsed L1-post fields + CRC status
+    ldpc_ok: np.ndarray       # bool [frames, fec_blocks] syndrome == 0
+    bch_ok: np.ndarray        # bool [frames, fec_blocks] syndrome == 0
+    bb_crc_ok: np.ndarray     # bool [frames, fec_blocks] BB header CRC-8
+    sync_crc_ok: bool         # §5.1 sync-byte CRC-8 chain verified
+
+
+@functools.cache
+def _rx_plan(cfg: Dvbt2Config):
+    """Host-side inverse tables, derived by inverting the TX plan arrays."""
+    fa = TX._frame_arrays(cfg)
+    l1 = TX._l1_plan(cfg)
+    p = TX._plan(cfg)
+    K = cfg.carriers
+    lf = fa["lf"]
+    n_pre = len(l1["pre_cells"])
+    n_post = len(l1["post_cells"])
+    n_l1 = n_pre + n_post
+    ncells = cfg.cells_per_fec_block
+    n_payload = cfg.fec_blocks * ncells
+
+    # stream position -> grid flat position (inverse of the frame gather,
+    # over the NON-fused src so the recovered payload is the
+    # time-interleaved stream)
+    src = fa["src"].reshape(-1)
+    mask = fa["data_mask"].reshape(-1)
+    total = fa["total"]
+    pos_of_stream = np.zeros(total, dtype=np.int32)
+    pos_of_stream[src[mask]] = np.nonzero(mask)[0].astype(np.int32)
+
+    # inverse of the time+cell interleaver composition (payload_perm):
+    # fused-src reads mapped_cells[payload_perm[s]] at stream position s
+    # (tx/dvbt2.py _frame_arrays); recover it by re-deriving from the two
+    # plans rather than duplicating the formula.
+    ci_flat = (np.arange(cfg.fec_blocks, dtype=np.int64)[:, None] * ncells
+               + p["ci_gather"]).reshape(-1)
+    ti = np.empty(n_payload, dtype=np.int64)
+    nr = ncells // 5
+    start_b = 0
+    for size in p["ti_sizes"]:
+        nc = size * 5
+        pidx = np.arange(size * ncells, dtype=np.int64)
+        ti[start_b * ncells + pidx] = (start_b * ncells
+                                       + (pidx % nc) * nr + pidx // nc)
+        start_b += size
+    payload_perm = ci_flat[ti]                    # stream s -> cell index
+    inv_payload = np.empty(n_payload, dtype=np.int64)
+    inv_payload[payload_perm] = np.arange(n_payload)
+    # cells_flat[i] = payload_stream[inv_payload_of_cell i]
+    deinterleave = inv_payload.astype(np.int32)
+
+    # axis demapper for the data constellation (reflected Gray, §6.3)
+    v = cfg.constellation.bits_per_symbol
+    half = v // 2
+    L = 1 << half
+    # _gray_axis maps axis bits -> level; build level-index -> axis bits
+    bits = (np.arange(L)[:, None] >> np.arange(half - 1, -1, -1)) & 1
+    levels = T._gray_axis(bits)                  # [L] odd, in ±(L-1)
+    axis_of_q = np.zeros(L, dtype=np.int32)
+    for w in range(L):
+        qi = int((levels[w] + L - 1) // 2)
+        axis_of_q[qi] = w
+    norm = float(T._NORM[v])
+    rot = float(np.deg2rad(T.ROTATION_DEG[v])) if cfg.rotation else 0.0
+
+    # recombine axis words into the cell word (even bits I, odd bits Q)
+    word_of_iq = np.zeros((L, L), dtype=np.int32)
+    for wi in range(L):
+        for wq in range(L):
+            word = 0
+            for i in range(half):
+                word |= ((wi >> (half - 1 - i)) & 1) << (v - 1 - 2 * i)
+                word |= ((wq >> (half - 1 - i)) & 1) << (v - 2 - 2 * i)
+            word_of_iq[wi, wq] = word
+    demap_lut = word_of_iq[axis_of_q[:, None], axis_of_q[None, :]]
+
+    # inverse of the composed bit-interleave + demux permutation
+    nsub = len(p["dperm"])
+    nbits = cfg.nldpc
+    comp = np.arange(nbits, dtype=np.int32)
+    if p["bit_perm"] is not None:
+        comp = np.asarray(p["bit_perm"], dtype=np.int32)[comp]
+    comp = comp.reshape(-1, nsub)[:, np.asarray(p["dperm"])].reshape(-1)
+    inv_comp = np.empty(nbits, dtype=np.int32)
+    inv_comp[comp] = np.arange(nbits, dtype=np.int32)
+
+    return dict(pos_of_stream=pos_of_stream, n_pre=n_pre, n_post=n_post,
+                n_l1=n_l1, n_payload=n_payload, deinterleave=deinterleave,
+                demap_lut=demap_lut, norm=norm, rot=rot, L=L,
+                inv_comp=inv_comp, scramble=p["scramble"],
+                bch_m=p["bch_m"], hdr_crc_m=p["hdr_crc_m"],
+                crc8_m=p["crc8_m"])
+
+
+def _frame_to_grid(cfg: Dvbt2Config, frame_iq: jnp.ndarray) -> jnp.ndarray:
+    """One frame's IQ pairs (P1 already stripped) -> grid [lf, fft-range K]."""
+    fft = cfg.fft_size
+    gi = cfg.guard_samples
+    K = cfg.carriers
+    sym = frame_iq.reshape(-1, fft + gi, 2)[:, gi:, :]
+    sym = sym / (TX.OUTPUT_SCALE / np.sqrt(fft))
+    spec = ifftshift_pairs(fft_pairs(sym, sign=-1)) / fft
+    left = (fft - K + 1) // 2
+    return spec[:, left:left + K, :]
+
+
+@functools.cache
+def _jit_frame_decode(cfg: Dvbt2Config):
+    """frame IQ -> (l1_pre_bits, l1_post_bits, fec_bits, words) jitted."""
+    rp = _rx_plan(cfg)
+    v = cfg.constellation.bits_per_symbol
+    ncells = cfg.cells_per_fec_block
+    nb = cfg.fec_blocks
+
+    def fn(frame_iq):
+        grid = _frame_to_grid(cfg, frame_iq)
+        stream = grid.reshape(-1, 2)[jnp.asarray(rp["pos_of_stream"])]
+        pre = stream[:rp["n_pre"]]
+        post = stream[rp["n_pre"]:rp["n_l1"]]
+        payload = stream[rp["n_l1"]:rp["n_l1"] + rp["n_payload"]]
+
+        # L1-pre is BPSK
+        pre_bits = (pre[:, 0] < 0).astype(jnp.uint8)
+        # time/cell de-interleave then per-block demap
+        cells = payload[jnp.asarray(rp["deinterleave"])].reshape(
+            nb, ncells, 2)
+        if cfg.rotation:
+            qch = jnp.roll(cells[..., 1], -1, axis=1)     # undo Q-delay
+            cells = jnp.stack([cells[..., 0], qch], axis=-1)
+            c, s = np.cos(rp["rot"]), np.sin(rp["rot"])
+            cells = jnp.stack([cells[..., 0] * c + cells[..., 1] * s,
+                               -cells[..., 0] * s + cells[..., 1] * c],
+                              axis=-1)
+        L = rp["L"]
+        qi = jnp.clip(jnp.round((cells[..., 0] * rp["norm"] + L - 1) / 2),
+                      0, L - 1).astype(jnp.int32)
+        qq = jnp.clip(jnp.round((cells[..., 1] * rp["norm"] + L - 1) / 2),
+                      0, L - 1).astype(jnp.int32)
+        words = jnp.asarray(rp["demap_lut"])[qi, qq]      # [nb, ncells]
+        y = bitops.words_to_bits(words, v).reshape(nb, -1)
+        fec = jnp.take(y, jnp.asarray(rp["inv_comp"]), axis=1)
+
+        # FEC validation + strip
+        info = fec[:, :cfg.nbch]
+        reenc = TX.fec_encode(cfg, (info[:, :cfg.kbch]
+                                    ^ jnp.asarray(rp["scramble"])[None, :]))
+        ldpc_ok = jnp.all(reenc[:, cfg.nbch:] == fec[:, cfg.nbch:], axis=1)
+        bch_ok = jnp.all(reenc[:, cfg.kbch:cfg.nbch]
+                         == fec[:, cfg.kbch:cfg.nbch], axis=1)
+        bb = info[:, :cfg.kbch] ^ jnp.asarray(rp["scramble"])[None, :]
+
+        # BB header: 72 bits + CRC-8
+        hdr = bb[:, :72]
+        crc = gf2_matmul(hdr, jnp.asarray(rp["hdr_crc_m"]))
+        bb_crc_ok = jnp.all(crc == bb[:, 72:80], axis=1)
+        data = bitops.bits_to_bytes(bb[:, 80:].reshape(-1))
+        return pre_bits, post, data, ldpc_ok, bch_ok, bb_crc_ok
+    return jax.jit(fn)
+
+
+def _crc32(bits: np.ndarray) -> np.ndarray:
+    return T.crc32_mpeg(bits)
+
+
+def _parse_l1_pre(bits: np.ndarray) -> dict:
+    """200 signalling bits -> fields; CRC-32 over the first 168."""
+    def take(o, w):
+        val = 0
+        for i in range(w):
+            val = (val << 1) | int(bits[o + i])
+        return val
+    crc_ok = bool(np.array_equal(_crc32(bits[:168]), bits[168:200]))
+    return dict(
+        crc_ok=crc_ok,
+        type=take(0, 8), bwt_ext=take(8, 1), s1=take(9, 3), s2=take(12, 4),
+        guard=take(17, 3), papr=take(20, 4), l1_mod=take(24, 4),
+        l1_cod=take(28, 2), l1_fec_type=take(30, 2),
+        l1_post_size=take(32, 18), l1_post_info_size=take(50, 18),
+        pilot_pattern=take(68, 4), cell_id=take(80, 16),
+        network_id=take(96, 16), t2_system_id=take(112, 16),
+        num_t2_frames=take(128, 8), num_data_symbols=take(136, 12),
+    )
+
+
+def _parse_l1_post(cfg: Dvbt2Config, post_cells: np.ndarray) -> dict:
+    """L1-post cells -> demap at the L1 constellation -> parse KSIG fields."""
+    lut_map = {1: T2Constellation.QPSK, 2: T2Constellation.QAM16,
+               3: T2Constellation.QAM64}
+    if cfg.l1_constellation == 0:
+        bits = (post_cells[:, 0] < 0).astype(np.uint8)
+    else:
+        c = lut_map[cfg.l1_constellation]
+        v = c.bits_per_symbol
+        lut = T.constellation_pairs(c, rotation=False)
+        pts = post_cells[:, 0] + 1j * post_cells[:, 1]
+        ref = lut[:, 0] + 1j * lut[:, 1]
+        words = np.argmin(np.abs(pts[:, None] - ref[None, :]), axis=1)
+        bits = ((words[:, None] >> np.arange(v - 1, -1, -1)) & 1
+                ).astype(np.uint8).reshape(-1)
+    ksig = T.L1POST_KSIG
+    info = bits[:ksig]
+
+    def take(o, w):
+        val = 0
+        for i in range(w):
+            val = (val << 1) | int(info[o + i])
+        return val
+    crc_ok = bool(np.array_equal(_crc32(info[:ksig - 32]), info[ksig - 32:]))
+    return dict(
+        crc_ok=crc_ok,
+        num_plp=take(15, 8), frequency=take(38, 32), plp_id=take(70, 8),
+        plp_type=take(78, 3), plp_payload_type=take(81, 5),
+        plp_group_id=take(98, 8), plp_cod=take(106, 3), plp_mod=take(109, 3),
+        plp_rotation=take(112, 1), plp_fec_type=take(113, 2),
+        plp_num_blocks_max=take(115, 10),
+    )
+
+
+def demodulate_stream(cfg: Dvbt2Config, iq: np.ndarray) -> Dvbt2RxResult:
+    """IQ (complex64 [n] or float32 pairs [n, 2]) -> recovered TS across all
+    whole T2 frames, with P1/L1/FEC receiver validation."""
+    if iq.dtype == np.complex64:
+        iq_c = iq
+    else:
+        iq_c = iq[..., 0] + 1j * iq[..., 1]
+    spf = TX.samples_per_frame(cfg)
+    n_frames = len(iq_c) // spf
+    assert n_frames > 0, f"need at least one frame of {spf} samples"
+
+    rp = _rx_plan(cfg)
+    fn = _jit_frame_decode(cfg)
+    p1_ok = True
+    s1 = s2 = -1
+    datas, ldpcs, bchs, bbcrcs = [], [], [], []
+    l1_pre = l1_post = None
+    for f in range(n_frames):
+        frame = iq_c[f * spf:(f + 1) * spf]
+        # P1: guard-correlation detection + CSS S1/S2 decode
+        det = t2_p1.detect_p1(frame[:4096])
+        p1_ok &= det == 0
+        if f == 0:
+            s1, s2 = decode_s1_s2(frame[:2048])
+        body = np.stack([frame[2048:].real, frame[2048:].imag], -1)
+        pre_bits, post, data, l_ok, b_ok, h_ok = fn(jnp.asarray(body))
+        if f == 0:
+            l1_pre = _parse_l1_pre(np.asarray(pre_bits))
+            l1_post = _parse_l1_post(cfg, np.asarray(post))
+        datas.append(np.asarray(data))
+        ldpcs.append(np.asarray(l_ok))
+        bchs.append(np.asarray(b_ok))
+        bbcrcs.append(np.asarray(h_ok))
+
+    # mode-adaptation undo over the concatenated data fields: sync bytes
+    # (positions 188k from stream start) carry the CRC-8 of the previous 187
+    # bytes; verify the chain and restore 0x47.
+    adapted = np.concatenate(datas)
+    n = len(adapted)
+    crc_m = rp["crc8_m"].astype(np.int64)
+    sync_pos = np.arange(0, n, 188)
+    ok = True
+    ts = adapted.copy()
+    prev = np.zeros(187, dtype=np.uint8)
+    for pos in sync_pos:
+        win_bits = np.unpackbits(prev)
+        want = np.packbits((win_bits.astype(np.int64) @ crc_m) & 1)[0]
+        ok &= int(ts[pos]) == int(want)
+        ts[pos] = 0x47
+        prev = adapted[pos + 1: pos + 188]
+        if len(prev) < 187:
+            break
+
+    return Dvbt2RxResult(
+        ts=ts, p1_detected=bool(p1_ok), s1=s1, s2=s2,
+        l1_pre=l1_pre, l1_post=l1_post,
+        ldpc_ok=np.stack(ldpcs), bch_ok=np.stack(bchs),
+        bb_crc_ok=np.stack(bbcrcs), sync_crc_ok=bool(ok))
+
+
+def decode_s1_s2(p1: np.ndarray) -> tuple[int, int]:
+    """Decode S1/S2 from a received 2048-sample P1 by correlating the
+    demodulated DBPSK sequence against the CSS patterns (EN 302 755 §9.8)."""
+    # part A spans samples 542..542+1024 (C-A-B layout, t2_p1.p1_time)
+    a = p1[542:542 + 1024]
+    spec = np.fft.fftshift(np.fft.fft(a))
+    k = t2_p1.p1_active_carriers()
+    act = spec[k + (1024 - t2_p1.P1_CARRIERS + 1) // 2]
+    # DBPSK demod (differential for k>=1, absolute for k=0 — clean loop),
+    # then PRBS descramble to recover the MSS bits
+    d = act[1:] * np.conj(act[:-1])
+    diff_bits = np.empty(len(act), dtype=np.uint8)
+    diff_bits[0] = act[0].real < 0
+    diff_bits[1:] = d.real < 0
+    mss_hat = diff_bits ^ t2_p1._p1_prbs(len(act))
+    best = (-1, -1, -1.0)
+    for s1 in range(8):
+        for s2 in range(16):
+            score = np.mean(mss_hat == t2_p1.mss_bits(s1, s2))
+            if score > best[2]:
+                best = (s1, s2, score)
+    return best[0], best[1]
