@@ -83,19 +83,20 @@ def _pass1_chunk(raw: jax.Array):
 
 @functools.partial(jax.jit, static_argnames=())
 def _pass2_chunk(raw: jax.Array, levels: jax.Array):
-    """Count of samples with power strictly above each ascending level.
-    Zero-padded tails are safe: power 0 lands in the below-every-level bin
-    which the suffix sum excludes."""
+    """Count of samples with power strictly above each level — the exact C
+    compare ``power > level[i]`` (papr.c:147-151) as one broadcast-compare
+    + reduce that XLA fuses into the power computation (one HBM read of the
+    chunk, no materialized [n, L] intermediate).  The earlier
+    searchsorted+bincount formulation lowered to per-element binary-search
+    gathers + a scatter: 155 ms vs 8 ms for pass 1 on the same bytes
+    (PROFILE_r03).  Zero-padded tails are safe: power 0 never exceeds a
+    positive level."""
     r = raw.reshape(-1, _LANE)
     i = r[:, 0::2]
     q = r[:, 1::2]
-    power = _power_f32(i, q)
-    idx = jnp.searchsorted(levels, power.reshape(-1),
-                           side="left")                 # #levels < power
-    hist = jnp.bincount(idx, length=levels.shape[0] + 1)
-    # counts[j] = sum_{m > j} hist[m]
-    suffix = jnp.cumsum(hist[::-1])[::-1]
-    return suffix[1:].astype(jnp.int32)   # host accumulates in int64
+    power = _power_f32(i, q)                             # [rows, 128]
+    cmp = power[:, :, None] > levels[None, None, :]      # [rows, 128, L]
+    return jnp.sum(cmp, axis=(0, 1), dtype=jnp.int32)
 
 
 class PaprStats:
