@@ -6,9 +6,10 @@ dvbt-blade.py:179-210).  Inverts the full tx/dvbt.py chain:
 
   IQ → CP strip → forward FFT (MXU matmul DFT) → carrier extraction →
   pilot-phase detection → TPS decode (differential + BCH syndrome check) →
-  composed de-interleave/demap gather → depuncture → block-parallel
-  Viterbi (ops/viterbi.py) → Forney deinterleave → Berlekamp-Massey
-  RS(204,188) correction (ops/rs_decode.py) → energy de-dispersal → TS.
+  composed de-interleave gather → max-log SOFT demap (per-bit LLRs) →
+  depuncture → block-parallel soft Viterbi (ops/viterbi.py) → Forney
+  deinterleave → Berlekamp-Massey RS(204,188) correction
+  (ops/rs_decode.py) → energy de-dispersal → TS.
 
 Alignment contract: the IQ stream starts at a superframe boundary (the
 modulator's output contract).  Pilot-phase and TPS decoding are performed
@@ -85,21 +86,14 @@ def _rx_plan(cfg: DvbtConfig):
         val = lut_c[word].real * norm
         q = int(round((val + (2 * L - 1) - L) / 2))  # levels ±1..±(2L-1)
         axis_bits_of_q[q] = w
-    # interleave I/Q axis bits back into the cell word
-    weave_i = np.zeros(half, dtype=np.int64)
-    weave_q = np.zeros(half, dtype=np.int64)
-    for i in range(half):
-        weave_i[i] = 1 << (v - 1 - 2 * i)       # re bits at even positions
-        weave_q[i] = 1 << (v - 2 - 2 * i)
-    word_of_iq = np.zeros((L, L), dtype=np.int32)
-    for wi in range(L):
-        for wq in range(L):
-            word = 0
-            for i in range(half):
-                word |= ((wi >> (half - 1 - i)) & 1) * weave_i[i]
-                word |= ((wq >> (half - 1 - i)) & 1) * weave_q[i]
-            word_of_iq[wi, wq] = word
-    demap_lut = word_of_iq[axis_bits_of_q[:, None], axis_bits_of_q[None, :]]
+    # max-log soft demap tables: per axis, the L level values and each
+    # level's axis-bit pattern (sign + Gray), for per-bit LLRs
+    axis_levels = np.empty(L, dtype=np.float32)
+    axis_bits = np.empty((L, half), dtype=np.uint8)
+    for q in range(L):
+        w = axis_bits_of_q[q]
+        axis_levels[q] = (2 * q - (L - 1)) / norm
+        axis_bits[q] = [(w >> (half - 1 - i)) & 1 for i in range(half)]
 
     # inverse of the bit-plane packing: kept-stream position of (u % P, e)
     from dtv_utils_tpu.ops.convcode import PUNCTURE_PATTERNS
@@ -134,7 +128,8 @@ def _rx_plan(cfg: DvbtConfig):
     # run time (depends on stream length); the per-packet dispersal masks:
     mask, _ = dvbt_dispersal_mask()
 
-    return dict(inv_idx=inv_idx, demap_lut=demap_lut, inv_s0=inv_s0,
+    return dict(inv_idx=inv_idx, inv_s0=inv_s0,
+                axis_levels=axis_levels, axis_bits=axis_bits,
                 scat_ref=np.stack(scat_ref), dispersal=mask,
                 tps_carriers=T.tps_carriers(cfg.mode).astype(np.int32),
                 tps_base=w_sign[T.tps_carriers(cfg.mode)].astype(np.float32))
@@ -152,24 +147,40 @@ def iq_to_carriers(cfg: DvbtConfig, iq: jnp.ndarray) -> jnp.ndarray:
     return spec[:, left:left + K, :]
 
 
-def _demap_cells(cfg: DvbtConfig, carriers: jnp.ndarray) -> jnp.ndarray:
-    """Carrier grid -> cell words [n_cells] (de-interleave + hard demap)."""
+def _extract_cells(cfg: DvbtConfig, carriers: jnp.ndarray) -> jnp.ndarray:
+    """Carrier grid -> de-interleaved data-cell values [n_cells, 2]."""
     p = _rx_plan(cfg)
-    v = cfg.constellation.bits_per_symbol
-    half = v // 2
-    L = 1 << half
     n_sym = carriers.shape[0]
-    norm = {1: np.sqrt(2.0), 2: np.sqrt(10.0), 3: np.sqrt(42.0)}[half]
-
-    # gather the data cells for each symbol in de-interleaved order
     inv = jnp.asarray(p["inv_idx"])            # [4, n_data]
     idx = inv[jnp.arange(n_sym) % 4]           # [n_sym, n_data]
     cells = jnp.take_along_axis(carriers, idx[:, :, None], axis=1)
-    qi = jnp.clip(jnp.round((cells[..., 0] * norm + L - 1) / 2), 0, L - 1)
-    qq = jnp.clip(jnp.round((cells[..., 1] * norm + L - 1) / 2), 0, L - 1)
-    lut = jnp.asarray(p["demap_lut"])
-    words = lut[qi.astype(jnp.int32), qq.astype(jnp.int32)]
-    return words.reshape(-1)
+    return cells.reshape(-1, 2)
+
+
+def _cell_bit_llrs(cfg: DvbtConfig, cells: jnp.ndarray) -> jnp.ndarray:
+    """Max-log per-bit LLRs [n_cells, v] (positive = bit 0): per axis,
+    LLR_b = min_{levels with bit 1} d² − min_{levels with bit 0} d².
+    Even cell-word bits come from I, odd from Q (EN 300 744 §4.3.5)."""
+    p = _rx_plan(cfg)
+    v = cfg.constellation.bits_per_symbol
+    half = v // 2
+    lv = jnp.asarray(p["axis_levels"])         # [L]
+    ab = jnp.asarray(p["axis_bits"])           # [L, half]
+    big = jnp.float32(1e30)
+
+    def axis_llrs(x):                          # x [n] -> [n, half]
+        d2 = (x[:, None] - lv[None, :]) ** 2   # [n, L]
+        outs = []
+        for b in range(half):
+            m1 = ab[:, b] == 1
+            d1 = jnp.min(jnp.where(m1[None, :], d2, big), axis=1)
+            d0 = jnp.min(jnp.where(m1[None, :], big, d2), axis=1)
+            outs.append(d1 - d0)
+        return jnp.stack(outs, axis=1)
+
+    li = axis_llrs(cells[:, 0])                # [n, half]
+    lq = axis_llrs(cells[:, 1])
+    return jnp.stack([li, lq], axis=2).reshape(-1, v)  # even=I, odd=Q
 
 
 def detect_symbol_phase(cfg: DvbtConfig, carriers: jnp.ndarray) -> jnp.ndarray:
@@ -215,23 +226,23 @@ def decode_tps(cfg: DvbtConfig, carriers: jnp.ndarray) -> dict:
 def _jit_front(cfg: DvbtConfig):
     def front(iq):
         carriers = iq_to_carriers(cfg, iq)
-        words = _demap_cells(cfg, carriers)
+        cells = _extract_cells(cfg, carriers)
         phases = detect_symbol_phase(cfg, carriers)
-        return carriers, words, phases
+        return carriers, cells, phases
     return jax.jit(front)
 
 
 @functools.cache
-def _jit_bits_to_coded(cfg: DvbtConfig):
-    """words [n_cells] -> decoded coded-stream bytes (post-Viterbi)."""
+def _jit_llrs_to_coded(cfg: DvbtConfig):
+    """cells [n_cells, 2] -> decoded coded-stream bytes (soft demap +
+    Viterbi): the bit-plane inverse permutation applies to the LLR stream
+    exactly as it applied to hard bit-planes."""
     p = _rx_plan(cfg)
-    v = cfg.constellation.bits_per_symbol
 
-    def fn(words):
-        planes = bitops.words_to_bits(words.astype(jnp.int32), v)
-        z = planes.reshape(-1, len(p["inv_s0"]))[:, jnp.asarray(p["inv_s0"])]
-        llr = 1.0 - 2.0 * z.reshape(-1).astype(jnp.float32)
-        bits = viterbi_decode_punctured(llr, cfg.code_rate.value)
+    def fn(cells):
+        llrs = _cell_bit_llrs(cfg, cells)      # [n_cells, v], + = bit 0
+        z = llrs.reshape(-1, len(p["inv_s0"]))[:, jnp.asarray(p["inv_s0"])]
+        bits = viterbi_decode_punctured(z.reshape(-1), cfg.code_rate.value)
         return bitops.bits_to_bytes(bits)
     return jax.jit(fn)
 
@@ -262,8 +273,8 @@ def demodulate_stream(cfg: DvbtConfig, iq: np.ndarray) -> DvbtRxResult:
     n_spf = cfg.symbols_per_superframe * (cfg.fft_size + cfg.guard_samples)
     assert len(iq) % n_spf == 0, f"need whole superframes of {n_spf} samples"
 
-    carriers, words, phases = _jit_front(cfg)(jnp.asarray(iq))
-    outer_bytes = _jit_bits_to_coded(cfg)(words)
+    carriers, cells, phases = _jit_front(cfg)(jnp.asarray(iq))
+    outer_bytes = _jit_llrs_to_coded(cfg)(cells)
 
     # Forney deinterleave (inverse of tx/dvbt.py stage 3, zero initial carry):
     # coded[j] = outer[j + 204*(j % 12)]

@@ -109,6 +109,10 @@ def _rx_plan(cfg: Dvbt2Config):
     for w in range(L):
         qi = int((levels[w] + L - 1) // 2)
         axis_of_q[qi] = w
+    # per level-index q (ascending level), the axis-bit pattern — for the
+    # soft demapper
+    axis_bits = ((axis_of_q[:, None] >> np.arange(half - 1, -1, -1)) & 1
+                 ).astype(np.uint8)
     norm = float(T._NORM[v])
     rot = float(np.deg2rad(T.ROTATION_DEG[v])) if cfg.rotation else 0.0
 
@@ -135,7 +139,8 @@ def _rx_plan(cfg: Dvbt2Config):
 
     return dict(pos_of_stream=pos_of_stream, n_pre=n_pre, n_post=n_post,
                 n_l1=n_l1, n_payload=n_payload, deinterleave=deinterleave,
-                demap_lut=demap_lut, norm=norm, rot=rot, L=L,
+                demap_lut=demap_lut, axis_bits=axis_bits,
+                norm=norm, rot=rot, L=L,
                 inv_comp=inv_comp, scramble=p["scramble"],
                 bch_m=p["bch_m"], hdr_crc_m=p["hdr_crc_m"],
                 crc8_m=p["crc8_m"])
@@ -154,10 +159,17 @@ def _frame_to_grid(cfg: Dvbt2Config, frame_iq: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.cache
-def _jit_frame_decode(cfg: Dvbt2Config):
-    """frame IQ -> (l1_pre_bits, l1_post_bits, fec_bits, words) jitted."""
+def _jit_frame_decode(cfg: Dvbt2Config, soft: bool = False,
+                      iterations: int = 30):
+    """frame IQ -> (l1_pre_bits, l1_post_cells, data, flags) jitted.
+
+    ``soft=False``: hard axis demap + LDPC/BCH *syndrome validation* (the
+    clean-signal path).  ``soft=True``: max-log per-bit LLRs through the
+    min-sum LDPC decoder (ops/ldpc_decode.py) — the noisy-channel path.
+    """
     rp = _rx_plan(cfg)
     v = cfg.constellation.bits_per_symbol
+    half = v // 2
     ncells = cfg.cells_per_fec_block
     nb = cfg.fec_blocks
 
@@ -181,19 +193,46 @@ def _jit_frame_decode(cfg: Dvbt2Config):
                                -cells[..., 0] * s + cells[..., 1] * c],
                               axis=-1)
         L = rp["L"]
-        qi = jnp.clip(jnp.round((cells[..., 0] * rp["norm"] + L - 1) / 2),
-                      0, L - 1).astype(jnp.int32)
-        qq = jnp.clip(jnp.round((cells[..., 1] * rp["norm"] + L - 1) / 2),
-                      0, L - 1).astype(jnp.int32)
-        words = jnp.asarray(rp["demap_lut"])[qi, qq]      # [nb, ncells]
-        y = bitops.words_to_bits(words, v).reshape(nb, -1)
-        fec = jnp.take(y, jnp.asarray(rp["inv_comp"]), axis=1)
+        lv = jnp.asarray((2.0 * np.arange(L) - (L - 1)) / rp["norm"],
+                         dtype=jnp.float32)
+        ab = jnp.asarray(rp["axis_bits"])                 # [L, half]
+        if soft:
+            # max-log axis LLRs (positive = bit 0), woven even=I, odd=Q
+            big = jnp.float32(1e30)
+
+            def axis_llrs(x):                             # [..., n]
+                d2 = (x[..., None] - lv) ** 2             # [..., n, L]
+                outs = []
+                for bpos in range(half):
+                    m1 = ab[:, bpos] == 1
+                    d1 = jnp.min(jnp.where(m1, d2, big), axis=-1)
+                    d0 = jnp.min(jnp.where(m1, big, d2), axis=-1)
+                    outs.append(d1 - d0)
+                return jnp.stack(outs, axis=-1)           # [..., n, half]
+
+            li = axis_llrs(cells[..., 0])
+            lq = axis_llrs(cells[..., 1])
+            y = jnp.stack([li, lq], axis=-1).reshape(nb, -1)
+            fec_llr = jnp.take(y, jnp.asarray(rp["inv_comp"]), axis=1)
+            from dtv_utils_tpu.ops import ldpc_decode as LD
+            fec, ldpc_ok = LD.decode(cfg, fec_llr, iterations=iterations)
+        else:
+            qi = jnp.clip(jnp.round((cells[..., 0] * rp["norm"] + L - 1)
+                                    / 2), 0, L - 1).astype(jnp.int32)
+            qq = jnp.clip(jnp.round((cells[..., 1] * rp["norm"] + L - 1)
+                                    / 2), 0, L - 1).astype(jnp.int32)
+            words = jnp.asarray(rp["demap_lut"])[qi, qq]  # [nb, ncells]
+            y = bitops.words_to_bits(words, v).reshape(nb, -1)
+            fec = jnp.take(y, jnp.asarray(rp["inv_comp"]), axis=1)
+            ldpc_ok = None
 
         # FEC validation + strip
         info = fec[:, :cfg.nbch]
         reenc = TX.fec_encode(cfg, (info[:, :cfg.kbch]
                                     ^ jnp.asarray(rp["scramble"])[None, :]))
-        ldpc_ok = jnp.all(reenc[:, cfg.nbch:] == fec[:, cfg.nbch:], axis=1)
+        if ldpc_ok is None:
+            ldpc_ok = jnp.all(reenc[:, cfg.nbch:] == fec[:, cfg.nbch:],
+                              axis=1)
         bch_ok = jnp.all(reenc[:, cfg.kbch:cfg.nbch]
                          == fec[:, cfg.kbch:cfg.nbch], axis=1)
         bb = info[:, :cfg.kbch] ^ jnp.asarray(rp["scramble"])[None, :]
@@ -265,9 +304,13 @@ def _parse_l1_post(cfg: Dvbt2Config, post_cells: np.ndarray) -> dict:
     )
 
 
-def demodulate_stream(cfg: Dvbt2Config, iq: np.ndarray) -> Dvbt2RxResult:
+def demodulate_stream(cfg: Dvbt2Config, iq: np.ndarray,
+                      soft: bool = False) -> Dvbt2RxResult:
     """IQ (complex64 [n] or float32 pairs [n, 2]) -> recovered TS across all
-    whole T2 frames, with P1/L1/FEC receiver validation."""
+    whole T2 frames, with P1/L1/FEC receiver validation.
+
+    ``soft=True`` demaps to per-bit LLRs and runs the min-sum LDPC decoder
+    (required on noisy input; the default hard path validates syndromes)."""
     if iq.dtype == np.complex64:
         iq_c = iq
     else:
@@ -277,7 +320,7 @@ def demodulate_stream(cfg: Dvbt2Config, iq: np.ndarray) -> Dvbt2RxResult:
     assert n_frames > 0, f"need at least one frame of {spf} samples"
 
     rp = _rx_plan(cfg)
-    fn = _jit_frame_decode(cfg)
+    fn = _jit_frame_decode(cfg, soft=soft)
     p1_ok = True
     s1 = s2 = -1
     datas, ldpcs, bchs, bbcrcs = [], [], [], []

@@ -159,12 +159,14 @@ def test_dvbt_roundtrip_64qam_78():
 
 
 def test_dvbt_roundtrip_awgn():
-    """QPSK 1/2 at 6 dB SNR: inner+outer FEC must deliver an exact TS."""
+    """QPSK 1/2 at 2.5 dB SNR — below the hard-decision threshold, inside
+    the soft-demap + Viterbi + RS operating region (DVB-T QEF for this
+    mode is ~3.1 dB on the Gaussian channel): exact TS required."""
     ts = _ts(CFG, 2)
     iq, _ = modulate_stream(CFG, ts)
     rng = np.random.default_rng(11)
     sig_p = np.mean(np.abs(iq) ** 2)
-    np_ = sig_p / 10 ** (6.0 / 10)
+    np_ = sig_p / 10 ** (2.5 / 10)
     noise = (rng.normal(0, np.sqrt(np_ / 2), len(iq))
              + 1j * rng.normal(0, np.sqrt(np_ / 2), len(iq))
              ).astype(np.complex64)

@@ -65,6 +65,24 @@ def test_dvbt2_roundtrip_short_frames():
     assert res.ldpc_ok.all() and res.bch_ok.all() and res.sync_crc_ok
 
 
+def test_dvbt2_soft_decode_awgn():
+    """64QAM rotated rate-2/3 at 14.5 dB SNR (the T2 operating region for
+    this mode): max-log soft demap + min-sum LDPC must deliver an exact
+    TS; the hard path cannot operate here."""
+    cfg = Dvbt2Config(fec_blocks=3, ti_blocks=2)
+    ts = _t2_ts(cfg, 1, seed=6)
+    iq, _ = tx2.modulate_stream(cfg, ts)
+    rng = np.random.default_rng(7)
+    sig = np.mean(np.abs(iq) ** 2)
+    npow = sig / 10 ** (14.5 / 10)
+    noise = (rng.normal(0, np.sqrt(npow / 2), len(iq))
+             + 1j * rng.normal(0, np.sqrt(npow / 2), len(iq))
+             ).astype(np.complex64)
+    res = rx2.demodulate_stream(cfg, iq + noise, soft=True)
+    np.testing.assert_array_equal(res.ts, ts[:len(res.ts)])
+    assert res.ldpc_ok.all() and res.bch_ok.all() and res.sync_crc_ok
+
+
 def test_p1_s1s2_decode_all_fft_codes():
     from dtv_utils_tpu.tx import t2_p1
     for s1, s2 in [(0, 0), (0, 2), (0, 10), (1, 5), (7, 15)]:
