@@ -71,6 +71,9 @@ def _interp2(x_padded: jax.Array, taps0: tuple, taps1: tuple,
     )(x_main, x_shift)
 
 
+_PALLAS_OK: bool | None = None
+
+
 def pallas_enabled() -> bool:
     """Whether the J.83B RRC uses the Pallas kernel on TPU (default: yes;
     set DTV_PALLAS_FIR=0 to force the XLA conv formulation).
@@ -78,9 +81,28 @@ def pallas_enabled() -> bool:
     Round-2 note ("AOT helper crashes on the 50-tap unrolled FIR") was a
     TILE=16384 compile-resource cliff; at TILE=4096 the full kernel
     compiles and runs on the remote-tunnel deployment (see TILE above),
-    validated bit-exact against the XLA formulation on-device."""
+    validated bit-exact against the XLA formulation on-device.  Other TPU
+    toolchain versions could still hit the compile-resource cliff, so the
+    first call probes a one-tile compile and falls back to the XLA conv
+    path automatically (with a warning) if the Mosaic compile raises."""
     import os
-    return os.environ.get("DTV_PALLAS_FIR", "1") != "0"
+    if os.environ.get("DTV_PALLAS_FIR", "1") == "0":
+        return False
+    global _PALLAS_OK
+    if _PALLAS_OK is None:
+        try:
+            probe_taps = tuple(0.0 for _ in range(25))
+            x = jnp.zeros((2, 2 * TILE), jnp.float32)
+            _interp2.lower(x, probe_taps, probe_taps, TILE).compile()
+            _PALLAS_OK = True
+        except Exception as e:  # Mosaic compile-resource cliff
+            import warnings
+            warnings.warn(
+                "Pallas FIR kernel failed to compile on this TPU toolchain "
+                f"({type(e).__name__}); falling back to the XLA conv path. "
+                "Set DTV_PALLAS_FIR=0 to silence this probe.")
+            _PALLAS_OK = False
+    return _PALLAS_OK
 
 
 def polyphase_interp2(ext_rows: jax.Array, taps: np.ndarray,

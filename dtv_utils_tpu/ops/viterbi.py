@@ -166,9 +166,14 @@ def viterbi_decode(llr_pairs: jnp.ndarray, block: int = 4096,
 
     Assumes the encoder started from the all-zero state at stream position 0
     (both chains satisfy this via their explicit carry state).  Block-
-    parallel: exact equality with whole-stream Viterbi holds for every bit
-    whose distance to a block seam exceeds the merge depth; with
-    ``overlap`` = 96 >> 5K that is every bit, for any decodable SNR.
+    parallel: equality with whole-stream Viterbi holds for every bit whose
+    distance to a block seam exceeds the survivor merge depth.  ``overlap``
+    = 96 >> 5K covers the unpunctured merge depth with a wide margin; for
+    heavily punctured rates (5/6, 7/8) near threshold SNR the merge depth
+    can occasionally exceed it, so seam bits there are exact with
+    overwhelming probability rather than provably — callers decoding
+    punctured streams at threshold can raise ``overlap`` (≈ 5·K/(1−r)
+    steps) to restore the guarantee.
     """
     n = llr_pairs.shape[0]
     block = min(block, max(n, 1))

@@ -1,14 +1,19 @@
 // MPEG-2 transport-stream demultiplexer / analyzer ("xport" equivalent).
 //
+// SPDX-License-Identifier: GPL-3.0-or-later
+//
 // Behavior contract: byte-identical stdout and demuxed ES/PES output files
 // vs /root/reference/xport.c, verified against the reference binary in
 // tests/test_native_xport.py (17 parity cases + a 60-trial corruption
 // fuzz diff).  The TS layer is an original packet-at-a-time engine
-// (ts_engine.inc); the stage-1 MPEG-2 video / MP2 audio parsers below are
-// restructured class designs; the stage-2 ES parsers (xport_es2.inc)
-// still follow the reference's parse logic and carry a GPLv3 derivative
-// notice — see native/README.md.  Reference quirks are kept and marked
-// [QUIRK].
+// (ts_engine.inc, MIT).  The Mpeg2Video / Mp2Audio ES parsers in THIS
+// file, like the stage-2 ES parsers in xport_es2.inc, are DERIVATIVE
+// WORKS of the ES parsers in xport.c from drmpeg/dtv-utils,
+// (c) Ron Economos, GPLv3: although reorganized into classes, they keep
+// the reference's shift-register control flow and locals, so this
+// translation unit is licensed GPLv3 (see native/COPYING.GPLv3), NOT
+// under the repository's MIT license — see native/README.md.  Reference
+// quirks are kept and marked [QUIRK].
 
 #include <cinttypes>
 #include <cstdint>
