@@ -141,3 +141,44 @@ def test_xport_hdmv_arrival_stamps(ref_xport, tmp_path):
         (GOLDEN / "xport_hdmv_extra.txt").write_bytes(theirs.stdout)
     else:
         assert ours.stdout == (GOLDEN / "xport_hdmv_extra.txt").read_bytes()
+
+
+def test_xport_corruption_fuzz(ref_xport, tmp_path):
+    """Randomized TS corruption over every codec combo, diffed against the
+    reference binary.  Trials where the reference itself crashes (it is not
+    bounds-checked; ours is) are skipped — see native/README.md."""
+    if ref_xport is None:
+        pytest.skip("reference sources not present")
+    import itertools
+    import random
+
+    rng = random.Random(20260820)
+    combos = list(itertools.product(["h264", "vc1", "mpeg2"],
+                                    ["ac3", "mp2", "lpcm"]))
+    checked = 0
+    for t in range(24):
+        video, audio = combos[t % len(combos)]
+        hdmv = audio == "lpcm"
+        ts = bytearray(ts_gen.make_av_ts(video=video, audio=audio,
+                                         hdmv=hdmv, seed=rng.randrange(10000)))
+        for _ in range(rng.randrange(0, 12)):
+            ts[rng.randrange(len(ts))] = rng.randrange(256)
+        if rng.random() < 0.5:
+            psz = 192 if hdmv else 188
+            k = rng.randrange(0, len(ts) // psz)
+            del ts[k * psz:(k + rng.randrange(1, 4)) * psz]
+        tsf = tmp_path / "fuzz.ts"
+        tsf.write_bytes(bytes(ts))
+        args = rng.choice([[], ["-t"], ["-avi"], ["-z"],
+                           ["-h"] if hdmv else ["-r"],
+                           ["-h2"] if hdmv else ["-s"]])
+        argv = args + [str(tsf), "1", "1", "1"]
+        theirs, ref_files = run_in(tmp_path / "ref", ref_xport, argv)
+        if theirs.returncode != 0:  # reference crashed on this input
+            continue
+        ours, our_files = run_in(tmp_path / "ours",
+                                 native.tool_path("xport"), argv)
+        assert ours.stdout == theirs.stdout, f"trial {t}: {video}/{audio} {args}"
+        assert our_files == ref_files, f"trial {t}: {video}/{audio} {args}"
+        checked += 1
+    assert checked >= 15  # the vast majority of trials must actually compare
