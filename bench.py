@@ -3,32 +3,47 @@ each (emitted through utils.metrics so the JSON/human duality is the same
 as the model CLIs):
 
   1. dvbt_8k_qam64_r78_iq_throughput   (the headline, printed first)
-  2. dvbt2_32k_bbc_iq_throughput       (BBC 40.2 Mbps mux, README:149-151)
+  2. papr_scan_throughput              (GSa/s, FULL two-pass tool)
   3. j83b_qam64_iq_throughput
-  4. papr_scan_throughput              (GSa/s of the pass-1 power scan)
+  4. dvbt2_32k_bbc_iq_throughput       (BBC 40.2 Mbps mux, README:149-151)
 
-Measurement honesty (round 3 rewrite — the round-2 numbers were enqueue
-rates, not throughput):
+Budget: the whole script is sized to finish well inside a 10-minute driver
+window — each metric runs in its own subprocess with a hard per-bench
+timeout (see TIMEOUTS), fastest/most-important first, and every metric is
+printed the moment its subprocess returns, so a driver kill can only lose
+the tail.
 
-  * The axon TPU tunnel backend is LAZY: ``jax.block_until_ready`` returns
-    immediately and execution happens when a value is fetched.  It also
-    MEMOIZES dispatches (same executable + same input buffers => cached
-    result).  Naive loops measured "17 TB/s HBM bandwidth" — 20x the
-    physical roofline.  All timing therefore goes through
-    utils/timing.timed_stream: a distinct input buffer for EVERY dispatch
-    and a scalar probe chain fetched inside the timed region, so the wall
-    time data-depends on every timed kernel.
+Variance: each measurement is split into 3 independently-timed segments;
+the reported value is the segment median and `runs`/`spread_pct` record
+the raw segment values, so a swing like BENCH_r03's 349->230 Msps is
+attributable (tunnel-session noise shows as intra-run spread; a real
+regression shows tight segments at a lower level).
+
+Measurement honesty (round 3 findings, kept):
+
+  * The axon TPU tunnel backend is LAZY (``block_until_ready`` returns
+    immediately; execution happens on value fetch) and MEMOIZES dispatches
+    (same executable + same input buffers => cached result).  All timing
+    goes through utils/timing.timed_segments: a distinct input buffer for
+    EVERY dispatch and a scalar probe chain fetched inside the timed
+    region, so the wall time data-depends on every timed kernel.
+  * device_put is ALSO lazy: a host-generated buffer's 2 GiB transfer
+    executes on first use — inside the timed region for post-warmup
+    buffers.  BENCH_r02's papr figure (0.019 GSa/s) was mostly tunnel
+    transfer time.  The papr bench now generates its chunks ON DEVICE
+    (jax.random.normal per distinct key) and force-fetches a probe of
+    every buffer before timing: the timed region measures compute on
+    resident data, which is the serving shape (the modulator chains
+    produce IQ on-device; papr scans it in place).
   * Running the 32K DVB-T2 chain degrades the backend session itself
-    (afterwards even a 1-output 128 MiB sum dispatch is ~58x slower, and
-    multi-output dispatches ~10000x; jax.clear_caches does not recover
-    it).  Each benchmark therefore runs in its OWN subprocess so every
-    metric reflects a clean backend session.
+    (afterwards even small dispatches are ~58x slower; jax.clear_caches
+    does not recover it).  Each benchmark runs in its OWN subprocess, and
+    dvbt2 runs LAST so its session damage cannot touch other metrics.
 
 Serving shape for the modulators: N independent muxes (each a serial
 state-threaded stream) round-robin on one chip — dispatches of independent
 streams pipeline on the device, so this measures chip saturation, not
-single-stream latency.  States thread serially and every dispatch consumes
-a fresh buffer, so no dispatch can be served from the memoization cache.
+single-stream latency.
 
 vs_baseline for the modulators is the reference's implied real-time floor:
 the bladeRF sample rate each chain must sustain (dvbt-blade.py:146 →
@@ -40,13 +55,30 @@ number; its two-pass CPU loop is far below that).
 
 from __future__ import annotations
 
+import statistics
 import subprocess
 import sys
+import time
 
 import numpy as np
 
 DVBT_FLOOR_MSPS = 8e6 * 8 / 7 / 1e6      # 9.142857 Msps (dvbt-blade.py:146)
 J83B_FLOOR_MSPS = 5.056941 * 2           # 10.113882 Msps (qam-blade.py:36)
+
+# Per-bench wall budgets (seconds), covering compile + transfer + timing.
+# Total worst case 620 s; typical total is far lower.
+ORDER = ("dvbt", "papr", "j83b", "dvbt2")
+TIMEOUTS = {"dvbt": 150, "papr": 120, "j83b": 150, "dvbt2": 200}
+SEGMENTS = 3
+
+
+def _emit_throughput(metrics, name, per_segment_msps, unit, floor):
+    med = statistics.median(per_segment_msps)
+    spread = (max(per_segment_msps) - min(per_segment_msps)) / med * 100
+    metrics.emit(name, round(med, 3), unit=unit,
+                 vs_baseline=round(med / floor, 3),
+                 runs=[round(v, 3) for v in per_segment_msps],
+                 spread_pct=round(spread, 1))
 
 
 def _ts_buffers(rng, block_bytes: int, n: int):
@@ -66,31 +98,31 @@ def bench_dvbt(metrics) -> None:
                                            DvbtConfig, GuardInterval,
                                            TransmissionMode)
     from dtv_utils_tpu.tx import dvbt as txd
-    from dtv_utils_tpu.utils.timing import timed_stream
+    from dtv_utils_tpu.utils.timing import timed_segments
 
     cfg = DvbtConfig(mode=TransmissionMode.M8K, bandwidth_mhz=8,
                      constellation=Constellation.QAM64,
                      code_rate=CodeRate.R7_8, guard=GuardInterval.G1_32)
     fn = jax.jit(lambda ts, st: txd.modulate_superframe(cfg, ts, st),
                  donate_argnums=(1,))
-    n_streams, n_rounds, warmup = 4, 22, 2
+    n_streams, n_rounds, warmup = 4, 20, 2
     rng = np.random.default_rng(0)
     bufs = _ts_buffers(rng, cfg.ts_bytes_per_superframe,
                        n_rounds * n_streams)
     states = [txd.init_state(cfg) for _ in range(n_streams)]
-    dt = timed_stream(fn, bufs, states, warmup=warmup)
-    n_timed = (n_rounds - warmup) * n_streams
-    msps = n_timed * cfg.samples_per_superframe / dt / 1e6
-    metrics.emit("dvbt_8k_qam64_r78_iq_throughput", round(msps, 3),
-                 unit="Msamples/s/chip",
-                 vs_baseline=round(msps / DVBT_FLOOR_MSPS, 3))
+    dts = timed_segments(fn, bufs, states, warmup=warmup, segments=SEGMENTS)
+    seg_rounds = (n_rounds - warmup) // SEGMENTS
+    per_seg = [seg_rounds * n_streams * cfg.samples_per_superframe / dt / 1e6
+               for dt in dts]
+    _emit_throughput(metrics, "dvbt_8k_qam64_r78_iq_throughput", per_seg,
+                     "Msamples/s/chip", DVBT_FLOOR_MSPS)
 
 
 def bench_dvbt2(metrics) -> None:
     import jax
     from dtv_utils_tpu.models.dvbt2 import PROFILES
     from dtv_utils_tpu.tx import dvbt2 as txt2
-    from dtv_utils_tpu.utils.timing import timed_stream
+    from dtv_utils_tpu.utils.timing import timed_segments
 
     cfg = PROFILES["bbc"]
     fn = jax.jit(lambda ts, st: txt2.modulate_frame(cfg, ts, st),
@@ -100,59 +132,65 @@ def bench_dvbt2(metrics) -> None:
     bufs = _ts_buffers(rng, cfg.payload_bytes_per_frame,
                        n_rounds * n_streams)
     states = [txt2.init_state(cfg) for _ in range(n_streams)]
-    dt = timed_stream(fn, bufs, states, warmup=warmup)
-    n_timed = (n_rounds - warmup) * n_streams
-    msps = n_timed * txt2.samples_per_frame(cfg) / dt / 1e6
-    metrics.emit("dvbt2_32k_bbc_iq_throughput", round(msps, 3),
-                 unit="Msamples/s/chip",
-                 vs_baseline=round(msps / DVBT_FLOOR_MSPS, 3))
+    dts = timed_segments(fn, bufs, states, warmup=warmup, segments=SEGMENTS)
+    seg_rounds = (n_rounds - warmup) // SEGMENTS
+    per_seg = [seg_rounds * n_streams * txt2.samples_per_frame(cfg) / dt / 1e6
+               for dt in dts]
+    _emit_throughput(metrics, "dvbt2_32k_bbc_iq_throughput", per_seg,
+                     "Msamples/s/chip", DVBT_FLOOR_MSPS)
 
 
 def bench_j83b(metrics) -> None:
     import jax
     from dtv_utils_tpu.core.config import J83bConfig
     from dtv_utils_tpu.tx import j83b as txq
-    from dtv_utils_tpu.utils.timing import timed_stream
+    from dtv_utils_tpu.utils.timing import timed_segments
 
     cfg = J83bConfig()
     fn = jax.jit(lambda ts, st: txq.modulate_superblock(cfg, ts, st),
                  donate_argnums=(1,))
-    n_streams, n_rounds, warmup = 4, 12, 2
+    n_streams, n_rounds, warmup = 4, 14, 2
     rng = np.random.default_rng(2)
     bufs = _ts_buffers(rng, txq.PACKETS_PER_SUPERBLOCK * 188,
                        n_rounds * n_streams)
     states = [txq.init_state(cfg) for _ in range(n_streams)]
     out0, _st = fn(bufs[0], txq.init_state(cfg))
     samples = int(out0.shape[0])      # IQ pairs per superblock (3,612,420)
-    dt = timed_stream(fn, bufs, states, warmup=warmup)
-    n_timed = (n_rounds - warmup) * n_streams
-    msps = n_timed * samples / dt / 1e6
-    metrics.emit("j83b_qam64_iq_throughput", round(msps, 3),
-                 unit="Msamples/s/chip",
-                 vs_baseline=round(msps / J83B_FLOOR_MSPS, 3))
+    dts = timed_segments(fn, bufs, states, warmup=warmup, segments=SEGMENTS)
+    seg_rounds = (n_rounds - warmup) // SEGMENTS
+    per_seg = [seg_rounds * n_streams * samples / dt / 1e6 for dt in dts]
+    _emit_throughput(metrics, "j83b_qam64_iq_throughput", per_seg,
+                     "Msamples/s/chip", J83B_FLOOR_MSPS)
 
 
 def bench_papr(metrics) -> None:
+    """FULL two-pass papr tool on device-resident chunks: pass-1 stats AND
+    the fused CCDF pass in ONE dispatch per chunk (the nested jits inline).
+    Chunks are generated on device (distinct PRNG keys => distinct buffers,
+    so memoization can't serve them) and probe-forced before timing."""
     import jax
     import jax.numpy as jnp
     from dtv_utils_tpu.analysis import papr
-    from dtv_utils_tpu.utils.timing import timed_stream
+    from dtv_utils_tpu.utils import timing
 
-    # 256M complex = 2 GiB per dispatch: the tunnel backend has a ~8 ms
-    # per-dispatch execution overhead that does not pipeline, so throughput
-    # is only measurable with large work per dispatch (4 buffers = 8 GiB
-    # resident; v5e has 16 GiB HBM)
-    n_complex = 1 << 28
-    n_rounds, warmup = 4, 1
-    rng = np.random.default_rng(3)
-    bufs = [jax.device_put(jnp.asarray(
-        rng.standard_normal(2 * n_complex, dtype=np.float32)))
-        for _ in range(n_rounds)]
-    fn = lambda raw, st: (papr._pass1_chunk(raw)[0], st)   # noqa: E731
-    dt = timed_stream(fn, bufs, [None], warmup=warmup)
-    gsas = (n_rounds - warmup) * n_complex / dt / 1e9
-    metrics.emit("papr_scan_throughput", round(gsas, 3), unit="GSa/s/chip",
-                 vs_baseline=round(gsas, 3))
+    n_complex = 1 << 26              # 64M complex = 512 MiB per chunk
+    n_bufs, warmup = 8, 2
+    gen = jax.jit(lambda k: jax.random.normal(
+        k, (2 * n_complex,), dtype=jnp.float32))
+    bufs = [gen(k) for k in jax.random.split(jax.random.PRNGKey(0), n_bufs)]
+    timing.force(bufs)               # resident before the timed region
+    # 13 CCDF levels ~ a typical 12 dB PAPR report (papr.c:138-141).
+    levels = jnp.asarray(np.power(10.0, np.arange(13) / 10.0)
+                         .astype(np.float32))
+    full = jax.jit(lambda raw: (papr._pass1_chunk(raw),
+                                papr._pass2_chunk(raw, levels)))
+    fn = lambda raw, st: (full(raw), st)   # noqa: E731
+    dts = timing.timed_segments(fn, bufs, [None], warmup=warmup,
+                                segments=SEGMENTS)
+    seg_bufs = (n_bufs - warmup) // SEGMENTS
+    per_seg = [seg_bufs * n_complex / dt / 1e9 for dt in dts]
+    _emit_throughput(metrics, "papr_scan_throughput", per_seg, "GSa/s/chip",
+                     1.0)
 
 
 def _run_inproc(name: str) -> None:
@@ -162,17 +200,25 @@ def _run_inproc(name: str) -> None:
 
 def main() -> None:
     # Each metric in its own process: a clean backend session per
-    # measurement (see module docstring), and one bench crashing cannot
-    # take down the others.
-    for name in ("dvbt", "dvbt2", "j83b", "papr"):
-        r = subprocess.run(
-            [sys.executable, __file__, "--inproc", name], text=True,
-            capture_output=True, timeout=1800)
+    # measurement (see module docstring), and one bench crashing or
+    # hitting its timeout cannot take down the others.
+    t0 = time.perf_counter()
+    for name in ORDER:
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--inproc", name], text=True,
+                capture_output=True, timeout=TIMEOUTS[name])
+        except subprocess.TimeoutExpired:
+            print(f"[bench] {name}: timeout after {TIMEOUTS[name]}s",
+                  file=sys.stderr, flush=True)
+            continue
         for line in r.stdout.splitlines():
             if line.startswith("{"):
                 print(line, flush=True)
         if r.returncode != 0:
-            print(r.stderr[-2000:], file=sys.stderr)
+            print(r.stderr[-2000:], file=sys.stderr, flush=True)
+    print(f"[bench] total {time.perf_counter() - t0:.1f}s", file=sys.stderr,
+          flush=True)
 
 
 if __name__ == "__main__":

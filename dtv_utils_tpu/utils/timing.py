@@ -50,24 +50,40 @@ def timed_stream(fn: Callable, inputs: Sequence, states: list,
     exactly once so the backend's memoization can never serve a cached
     result.
     """
+    return sum(timed_segments(fn, inputs, states, warmup=warmup, segments=1))
+
+
+def timed_segments(fn: Callable, inputs: Sequence, states: list,
+                   warmup: int = 1, segments: int = 1) -> list:
+    """Like ``timed_stream`` but the timed rounds are split into
+    ``segments`` equal, independently-timed groups (each execution-forced
+    at its boundary), so callers can report repeat variance — tunnel-
+    session noise vs a real regression (BENCH_r03's unexplained swing).
+    Returns the list of per-segment wall seconds."""
     n_streams = len(states)
     assert len(inputs) % n_streams == 0
     n_rounds = len(inputs) // n_streams
-    assert n_rounds > warmup, "need more inputs than warmup rounds"
+    timed_rounds = n_rounds - warmup
+    assert timed_rounds >= segments > 0, "need >= one round per segment"
+    assert timed_rounds % segments == 0, "segments must divide timed rounds"
     it = iter(inputs)
     acc = jnp.float32(0)
     for _ in range(warmup):
         for s in range(n_streams):
             out, states[s] = fn(next(it), states[s])
-            acc = _probe(acc, out)
+            for leaf in jax.tree_util.tree_leaves(out):
+                acc = _probe(acc, leaf)
     float(acc)                                  # sync: warmup + compiles done
-    acc = jnp.float32(0)
-    t0 = time.perf_counter()
-    for _ in range(n_rounds - warmup):
-        for s in range(n_streams):
-            out, states[s] = fn(next(it), states[s])
-            acc = _probe(acc, out)
-    force_val = float(acc)                      # forces every timed dispatch
-    dt = time.perf_counter() - t0
-    assert force_val == force_val               # not NaN — outputs are real
-    return dt
+    dts = []
+    for _ in range(segments):
+        acc = jnp.float32(0)
+        t0 = time.perf_counter()
+        for _ in range(timed_rounds // segments):
+            for s in range(n_streams):
+                out, states[s] = fn(next(it), states[s])
+                for leaf in jax.tree_util.tree_leaves(out):
+                    acc = _probe(acc, leaf)
+        force_val = float(acc)                  # forces every timed dispatch
+        dts.append(time.perf_counter() - t0)
+        assert force_val == force_val           # not NaN — outputs are real
+    return dts
