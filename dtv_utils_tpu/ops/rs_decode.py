@@ -58,18 +58,26 @@ class RsDecoder:
                         if (val >> (m - 1 - ob)) & 1:
                             M[k * m + (m - 1 - b), j * m + ob] = 1
         self.synd_M = M
-        # device GF tables
-        self.d_log = jnp.asarray(gf.log.astype(np.int32))
-        self.d_exp = jnp.asarray(gf.exp.astype(np.int32))
-        # Chien/Forney exponent tables over the n real positions:
-        # position e (0 = LAST transmitted symbol, degree 0) -> X_e = alpha^e
-        e = np.arange(self.n)
-        jj = np.arange(nroots + 1)
-        self.chien = jnp.asarray(
-            gf.exp[(-e[:, None] * jj[None, :]) % (q - 1)].astype(np.int32))
-        # X_e^{1-first_root} factor for Forney (char-2: sign-free)
-        self.xfact = jnp.asarray(
-            gf.exp[(e * (1 - first_root)) % (q - 1)].astype(np.int32))
+        # Device GF tables.  Construction may first happen INSIDE a jit
+        # trace (the cached DVBT_RS_DEC() singleton is typically touched
+        # from a traced decode fn); without the compile-time-eval guard the
+        # asarray results would be tracers cached on self, poisoning every
+        # later trace (UnexpectedTracerError).
+        import jax
+        with jax.ensure_compile_time_eval():
+            self.d_log = jnp.asarray(gf.log.astype(np.int32))
+            self.d_exp = jnp.asarray(gf.exp.astype(np.int32))
+            # Chien/Forney exponent tables over the n real positions:
+            # position e (0 = LAST transmitted symbol, degree 0) ->
+            # X_e = alpha^e
+            e = np.arange(self.n)
+            jj = np.arange(nroots + 1)
+            self.chien = jnp.asarray(
+                gf.exp[(-e[:, None] * jj[None, :]) % (q - 1)]
+                .astype(np.int32))
+            # X_e^{1-first_root} factor for Forney (char-2: sign-free)
+            self.xfact = jnp.asarray(
+                gf.exp[(e * (1 - first_root)) % (q - 1)].astype(np.int32))
 
     # -- device GF helpers ------------------------------------------------
     def _mul(self, a, b):

@@ -156,7 +156,8 @@ def bit_interleaver_perm(cfg: Dvbt2Config) -> np.ndarray | None:
     if (cfg.frame_size is T2FrameSize.SHORT
             and cfg.constellation is T2Constellation.QAM256):
         nc = 8
-    tc = _TWIST[(cfg.frame_size, nc)]
+    from dtv_utils_tpu.tx import t2_annex
+    tc = t2_annex.column_twist(n, nc) or _TWIST[(cfg.frame_size, nc)]
     nr = n // nc
     r = np.arange(nr).repeat(nc)               # output row index
     c = np.tile(np.arange(nc), nr)             # output column index
@@ -187,7 +188,10 @@ def demux_perm(cfg: Dvbt2Config) -> np.ndarray:
     substream d is output bit position table[d]; groups of Nsub bits yield
     Nsub/v cells.
     """
-    table = np.asarray(_DEMUX[cfg.constellation])
+    from dtv_utils_tpu.tx import t2_annex
+    loaded = t2_annex.demux_map(len(_DEMUX[cfg.constellation]))
+    table = np.asarray(loaded if loaded is not None
+                       else _DEMUX[cfg.constellation])
     nsub = len(table)
     dperm = np.empty(nsub, dtype=np.int32)
     for i in range(nsub):

@@ -108,3 +108,41 @@ def tr_positions(fft: int, k_max: int, n_tr: int,
             f"{name}: {len(arr)} entries, expected {n_tr} "
             "(dvbt2rate.c:1108-1196 TR cell count)")
     return arr
+
+
+@functools.cache
+def column_twist(nldpc: int, nc: int) -> tuple[int, ...] | None:
+    """§6.1.3 table-9/10 column-twist offsets tc for an Nc-column
+    interleaver at frame size nldpc (``twist_<nldpc>_<nc>.txt``: the Nc
+    offsets on one or more lines), or None when no file is installed.
+
+    Structural validation: exactly Nc values, each in [0, Nr) where
+    Nr = nldpc / Nc."""
+    path = DATA_DIR / f"twist_{nldpc}_{nc}.txt"
+    if not path.exists():
+        return None
+    vals = [v for row in _read_rows(path) for v in row]
+    nr = nldpc // nc
+    if len(vals) != nc:
+        raise AnnexDataError(f"{path.name}: {len(vals)} offsets, "
+                             f"expected {nc}")
+    if any(v < 0 or v >= nr for v in vals):
+        raise AnnexDataError(f"{path.name}: offset outside [0, {nr})")
+    return tuple(vals)
+
+
+@functools.cache
+def demux_map(n_substreams: int) -> tuple[int, ...] | None:
+    """§6.2 table-12 bit-to-substream map (``demux_<nsub>.txt``: for each
+    substream d in order, the output bit position y of substream d), or
+    None when no file is installed.
+
+    Structural validation: a permutation of 0..n_substreams-1."""
+    path = DATA_DIR / f"demux_{n_substreams}.txt"
+    if not path.exists():
+        return None
+    vals = [v for row in _read_rows(path) for v in row]
+    if sorted(vals) != list(range(n_substreams)):
+        raise AnnexDataError(
+            f"{path.name}: not a permutation of 0..{n_substreams - 1}")
+    return tuple(vals)

@@ -11,13 +11,14 @@ from dtv_utils_tpu.tx import t2_annex
 @pytest.fixture
 def data_dir(tmp_path, monkeypatch):
     monkeypatch.setattr(t2_annex, "DATA_DIR", tmp_path)
-    t2_annex.ldpc_rows.cache_clear()
-    t2_annex.continual_pilots.cache_clear()
-    t2_annex.tr_positions.cache_clear()
+    loaders = (t2_annex.ldpc_rows, t2_annex.continual_pilots,
+               t2_annex.tr_positions, t2_annex.column_twist,
+               t2_annex.demux_map)
+    for fn in loaders:
+        fn.cache_clear()
     yield tmp_path
-    t2_annex.ldpc_rows.cache_clear()
-    t2_annex.continual_pilots.cache_clear()
-    t2_annex.tr_positions.cache_clear()
+    for fn in loaders:
+        fn.cache_clear()
 
 
 def test_missing_files_fall_back(data_dir):
@@ -79,3 +80,48 @@ def test_cp_rejects_out_of_band(data_dir):
     (data_dir / "cp_1024.txt").write_text("116\n9999\n")
     with pytest.raises(t2_annex.AnnexDataError):
         t2_annex.continual_pilots(1024, 853)
+
+
+def test_twist_file_loads_and_is_consumed(data_dir):
+    (data_dir / "twist_64800_12.txt").write_text(
+        "0 0 0 2 2 2 3 3 3 6 7 7\n")
+    assert t2_annex.column_twist(64800, 12) == (0, 0, 0, 2, 2, 2,
+                                                3, 3, 3, 6, 7, 7)
+    # consumed by the bit interleaver builder
+    from dtv_utils_tpu.core.config import Dvbt2Config
+    T.bit_interleaver_perm.cache_clear()
+    try:
+        perm = T.bit_interleaver_perm(Dvbt2Config())
+        assert perm is not None and len(perm) == 64800
+        assert sorted(perm.tolist()) == list(range(64800))
+    finally:
+        T.bit_interleaver_perm.cache_clear()
+
+
+def test_twist_structural_validation(data_dir):
+    (data_dir / "twist_64800_12.txt").write_text("0 0 0\n")
+    with pytest.raises(t2_annex.AnnexDataError, match="offsets"):
+        t2_annex.column_twist(64800, 12)
+    t2_annex.column_twist.cache_clear()
+    (data_dir / "twist_64800_12.txt").write_text(
+        "0 0 0 2 2 2 3 3 3 6 7 99999\n")
+    with pytest.raises(t2_annex.AnnexDataError, match="outside"):
+        t2_annex.column_twist(64800, 12)
+
+
+def test_demux_file_loads_and_is_consumed(data_dir):
+    (data_dir / "demux_12.txt").write_text("11 7 3 10 6 2 9 5 1 8 4 0\n")
+    assert t2_annex.demux_map(12) == (11, 7, 3, 10, 6, 2, 9, 5, 1, 8, 4, 0)
+    from dtv_utils_tpu.core.config import Dvbt2Config
+    T.demux_perm.cache_clear()
+    try:
+        dperm = T.demux_perm(Dvbt2Config())
+        assert sorted(dperm.tolist()) == list(range(12))
+    finally:
+        T.demux_perm.cache_clear()
+
+
+def test_demux_structural_validation(data_dir):
+    (data_dir / "demux_12.txt").write_text("11 7 3 10 6 2 9 5 1 8 4 4\n")
+    with pytest.raises(t2_annex.AnnexDataError, match="permutation"):
+        t2_annex.demux_map(12)

