@@ -25,50 +25,59 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 HALO = 128           # lane width (min lane-divisible size ≥ ntaps//2-1 = 49)
-# Lanes per grid step.  16384 (128 KB/tile) crashes the deployment's AOT
+# Lanes per row.  16384 (128 KB/tile) crashes the deployment's AOT
 # compile helper on the full 25x2-tap unrolled kernel (minimized round 3:
 # 16 taps @ 16384 compiles, 25 @ 16384 dies, 25 @ 4096 compiles and runs
 # bit-exactly) — a Mosaic compile-resource cliff, not a kernel error.
 TILE = 4096
+# Time rows per grid step.  One 4096-lane row per step left the kernel
+# latency-bound (~880 sequential grid steps ≈ 19 ms for a superblock,
+# ~190x off roofline — PROFILE_r04); batching rows amortizes the per-step
+# cost while keeping each vector op at the Mosaic-safe 4096-lane width.
+ROWS = 8
 
 
-def _kernel(x_ref, xs_ref, out_ref, *, taps0, taps1, tile):
-    """One tile: out[p, :, m] = Σ_j taps_p[j] · xcat[:, m + j].
+def _kernel(x_ref, xh_ref, out_ref, *, taps0, taps1, tile):
+    """One block of ROWS consecutive time rows:
+    out[p, :, r, m] = Σ_j taps_p[j] · xcat[:, r, m + j].
 
-    x_ref  [2, tile]      — this tile's input samples
-    xs_ref [2, HALO]      — the next tile's first HALO samples (halo)
-    out_ref [2, 2, tile]  — (phase, re/im, time)
+    x_ref  [2, ROWS, tile]   — this block's input rows
+    xh_ref [2, ROWS, HALO]   — each row's next-HALO samples (halo)
+    out_ref [2, 2, ROWS, tile] — (phase, re/im, row, time)
     """
-    xcat = jnp.concatenate([x_ref[:, :], xs_ref[:, :]], axis=1)
+    xcat = jnp.concatenate([x_ref[:, :, :], xh_ref[:, :, :]], axis=2)
     for p, taps in ((0, taps0), (1, taps1)):
-        acc = xcat[:, 0:tile] * taps[0]
+        acc = xcat[:, :, 0:tile] * taps[0]
         for j in range(1, len(taps)):
-            acc = acc + xcat[:, j:j + tile] * taps[j]
-        out_ref[p, :, :] = acc
+            acc = acc + xcat[:, :, j:j + tile] * taps[j]
+        out_ref[p, :, :, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("taps0", "taps1", "n_pad"))
 def _interp2(x_padded: jax.Array, taps0: tuple, taps1: tuple,
              n_pad: int) -> jax.Array:
-    n_tiles = n_pad // TILE
-    x_main = x_padded[:, :n_pad]
-    x_shift = x_padded[:, TILE:TILE + n_pad]
+    n_rows = n_pad // TILE                      # multiple of ROWS (caller)
+    x3 = x_padded[:, :n_pad].reshape(2, n_rows, TILE)
+    # per-row halo = the next row's first HALO lanes (zeros past the end —
+    # x_padded carries a TILE of zero tail)
+    xh = x_padded[:, TILE:TILE + n_pad].reshape(2, n_rows, TILE)[:, :, :HALO]
 
     kern = functools.partial(_kernel, taps0=taps0, taps1=taps1, tile=TILE)
-    return pl.pallas_call(
+    y = pl.pallas_call(
         kern,
-        grid=(n_tiles,),
+        grid=(n_rows // ROWS,),
         in_specs=[
-            pl.BlockSpec((2, TILE), lambda i: (0, i),
+            pl.BlockSpec((2, ROWS, TILE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, HALO), lambda i: (0, i * (TILE // HALO)),
+            pl.BlockSpec((2, ROWS, HALO), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2, 2, TILE), lambda i: (0, 0, i),
+        out_specs=pl.BlockSpec((2, 2, ROWS, TILE), lambda i: (0, 0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, 2, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2, 2, n_rows, TILE), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(x_main, x_shift)
+    )(x3, xh)
+    return y.reshape(2, 2, n_pad)
 
 
 _PALLAS_OK: bool | None = None
@@ -92,8 +101,9 @@ def pallas_enabled() -> bool:
     if _PALLAS_OK is None:
         try:
             probe_taps = tuple(0.0 for _ in range(25))
-            x = jnp.zeros((2, 2 * TILE), jnp.float32)
-            _interp2.lower(x, probe_taps, probe_taps, TILE).compile()
+            n_pad = ROWS * TILE
+            x = jnp.zeros((2, n_pad + TILE), jnp.float32)
+            _interp2.lower(x, probe_taps, probe_taps, n_pad).compile()
             _PALLAS_OK = True
         except Exception as e:  # Mosaic compile-resource cliff
             import warnings
@@ -112,7 +122,7 @@ def polyphase_interp2(ext_rows: jax.Array, taps: np.ndarray,
     with h_p = taps[p::2] reversed (true convolution)."""
     taps0 = tuple(float(v) for v in taps[0::2][::-1])
     taps1 = tuple(float(v) for v in taps[1::2][::-1])
-    n_pad = -(-n // TILE) * TILE
+    n_pad = -(-n // (ROWS * TILE)) * (ROWS * TILE)
     total = n_pad + TILE                    # room for the shifted halo view
     x_padded = jnp.pad(ext_rows, ((0, 0), (0, total - ext_rows.shape[1])))
     y = _interp2(x_padded, taps0, taps1, n_pad)      # [2(p), 2(c), n_pad]

@@ -205,16 +205,27 @@ def rs_encode(symbols7: jax.Array) -> jax.Array:
 
 
 def interleave(symbols: jax.Array, carry: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Forney (I=128, J=4) over 7-bit symbols: out[k]=in[k - (k%I)*I*J]."""
+    """Forney (I=128, J=4) over 7-bit symbols: out[k]=in[k - (k%I)*I*J].
+
+    Formulation: with ext = carry ++ symbols viewed [*, I], the output is
+    the column shear out2d[r, b] = ext2d[r + C/I - J*b, b] (C = carry
+    length, a multiple of I*J so C/I - J*b >= 0 for all branches).  The
+    shear runs on the TRANSPOSED [I, *] layout where each branch is a
+    contiguous row: one relayout transpose, a vmapped dynamic_slice
+    (contiguous lane reads), and a transpose back — replacing 128
+    lane-strided gathers that dominated the encode profile."""
     n = symbols.shape[0]
     C = carry.shape[0]
-    ext = jnp.concatenate([carry, symbols])
+    assert n % ILV_I == 0 and C % (ILV_I * ILV_J) == 0
     rows = n // ILV_I
-    cols = [jax.lax.slice(ext, (C + b - ILV_I * ILV_J * b,),
-                          (C + b - ILV_I * ILV_J * b + ILV_I * rows,),
-                          (ILV_I,))
-            for b in range(ILV_I)]
-    out = jnp.stack(cols, axis=1).reshape(n)
+    ext = jnp.concatenate([carry, symbols])
+    extT = ext.reshape(-1, ILV_I).T                  # [I, C/I + rows]
+    starts = jnp.asarray(C // ILV_I
+                         - ILV_J * np.arange(ILV_I, dtype=np.int32))
+    branches = jax.vmap(
+        lambda row, s: jax.lax.dynamic_slice(row, (s,), (rows,)))(
+        extT, starts)                                # [I, rows]
+    out = branches.T.reshape(n)
     return out, ext[-C:]
 
 

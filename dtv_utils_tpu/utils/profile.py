@@ -211,9 +211,13 @@ def dvbt_stages(cfg=None) -> list[StageReport]:
 
 
 def j83b_stages(cfg=None) -> list[StageReport]:
-    """Stage profile of the J.83B chain (one superblock)."""
+    """Stage profile of the J.83B chain (one superblock), including the
+    sub-stages of encode_to_cells (its 26 ms r04 measurement was ~700x
+    above the I/O roofline — the sub-rows attribute it)."""
     import jax.numpy as jnp
+    import numpy as np_
 
+    from dtv_utils_tpu.core import bitops
     from dtv_utils_tpu.core.config import J83bConfig
     from dtv_utils_tpu.tx import j83b as txq
 
@@ -223,10 +227,38 @@ def j83b_stages(cfg=None) -> list[StageReport]:
     cells, _ = txq.encode_to_cells(cfg, ts, st)
     taps = txq.rrc_taps(cfg)            # concrete, closed over (static FIR)
 
+    # sub-stage inputs (concrete, staged once)
+    n_pkt = txq.PACKETS_PER_SUPERBLOCK
+    framed = txq.transport_framing(ts.reshape(n_pkt, 188)).reshape(-1)
+    bits = bitops.bytes_to_bits(framed)
+    info = bitops.bits_to_words(bits.reshape(-1, 7), 7).reshape(-1)
+    cw = txq.rs_encode(info.reshape(-1, txq.RS_K)).reshape(-1)
+    inter, _c = txq.interleave(cw.astype(jnp.int32), st.ilv_carry)
+    frame_bits = jnp.zeros(
+        (txq.FRAMES_PER_SUPERBLOCK * (txq.FRAME_SYMBOLS * 7 + 42),),
+        jnp.uint8)
+
     P = functools.partial
     return [
         profile_fn("encode_to_cells", P(txq.encode_to_cells, cfg),
                    (ts, st)),
+        profile_fn("  sub: framing+symbolize",
+                   lambda t: bitops.bits_to_words(
+                       bitops.bytes_to_bits(
+                           txq.transport_framing(t.reshape(n_pkt, 188))
+                           .reshape(-1)).reshape(-1, 7), 7), (ts,)),
+        profile_fn("  sub: rs_encode",
+                   lambda i: txq.rs_encode(i.reshape(-1, txq.RS_K)),
+                   (info,)),
+        profile_fn("  sub: interleave",
+                   lambda c, carry: txq.interleave(c, carry)[0],
+                   (cw.astype(jnp.int32), st.ilv_carry)),
+        profile_fn("  sub: trellis+map",
+                   lambda fb, st_=st: jnp.asarray(
+                       txq.CONSTELLATION_64_PAIRS)[
+                       txq.trellis_encode(fb, st_.conv_a, st_.conv_b,
+                                          st_.diff_state)[0]],
+                   (frame_bits,)),
         profile_fn("rrc_interpolate",
                    lambda c, t: txq.rrc_interpolate(c, t, taps),
                    (cells, st.rrc_tail)),
@@ -254,7 +286,13 @@ def papr_stages(cfg=None) -> list[StageReport]:
     ]
 
 
-CHAINS = {"dvbt": dvbt_stages, "dvbt2": dvbt2_stages, "j83b": j83b_stages,
+def _dvbt2_bbc_stages() -> list[StageReport]:
+    from dtv_utils_tpu.models.dvbt2 import PROFILES
+    return dvbt2_stages(PROFILES["bbc"])
+
+
+CHAINS = {"dvbt": dvbt_stages, "dvbt2": dvbt2_stages,
+          "dvbt2-bbc": _dvbt2_bbc_stages, "j83b": j83b_stages,
           "papr": papr_stages}
 
 
