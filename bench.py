@@ -40,10 +40,16 @@ Measurement honesty (round 3 findings, kept):
     does not recover it).  Each benchmark runs in its OWN subprocess, and
     dvbt2 runs LAST so its session damage cannot touch other metrics.
 
-Serving shape for the modulators: N independent muxes (each a serial
-state-threaded stream) round-robin on one chip — dispatches of independent
-streams pipeline on the device, so this measures chip saturation, not
-single-stream latency.
+Serving shape for the modulators: one stream, L consecutive blocks per
+DISPATCH (parallel/stream's carry-derivation batching — every block's
+stream state is recomputed in-dispatch from its predecessor's raw tail,
+so a batch has no serial dependency).  PROFILE_r04 showed the
+one-block-per-dispatch shape was ~99% idle chip: the tunnel's ~8 ms
+per-dispatch overhead dominated the ~15 us of attainable compute per
+superframe, so the old numbers measured the TUNNEL, not the chip.
+Batching amortizes the overhead; the per-bench L is chosen from the
+committed dispatch-size sweep (BENCH_NOTES.md) and recorded in the
+metric's `blocks_per_dispatch` field.
 
 vs_baseline for the modulators is the reference's implied real-time floor:
 the bladeRF sample rate each chain must sustain (dvbt-blade.py:146 →
@@ -72,13 +78,40 @@ TIMEOUTS = {"dvbt": 150, "papr": 120, "j83b": 150, "dvbt2": 200}
 SEGMENTS = 3
 
 
-def _emit_throughput(metrics, name, per_segment_msps, unit, floor):
+def _emit_throughput(metrics, name, per_segment_msps, unit, floor, **extra):
     med = statistics.median(per_segment_msps)
     spread = (max(per_segment_msps) - min(per_segment_msps)) / med * 100
     metrics.emit(name, round(med, 3), unit=unit,
                  vs_baseline=round(med / floor, 3),
                  runs=[round(v, 3) for v in per_segment_msps],
-                 spread_pct=round(spread, 1))
+                 spread_pct=round(spread, 1), **extra)
+
+
+def _block_buffers(rng, n_blocks: int, block_bytes: int, n: int, sharding):
+    import jax
+    import jax.numpy as jnp
+    bufs = []
+    for _ in range(n):
+        ts = rng.integers(0, 256, size=(n_blocks, block_bytes),
+                          dtype=np.uint8)
+        ts[:, ::188] = 0x47
+        bufs.append(jax.device_put(jnp.asarray(ts), sharding))
+    return bufs
+
+
+def _bench_batched(metrics, name, runner, sharding, n_blocks, block_bytes,
+                   samples_per_block, floor, rounds=8, warmup=2, seed=0):
+    from dtv_utils_tpu.utils.timing import timed_segments
+
+    rng = np.random.default_rng(seed)
+    bufs = _block_buffers(rng, n_blocks, block_bytes, rounds, sharding)
+    fn = lambda b, st: (runner(b), st)   # noqa: E731
+    dts = timed_segments(fn, bufs, [None], warmup=warmup, segments=SEGMENTS)
+    seg_rounds = (rounds - warmup) // SEGMENTS
+    per_seg = [seg_rounds * n_blocks * samples_per_block / dt / 1e6
+               for dt in dts]
+    _emit_throughput(metrics, name, per_seg, "Msamples/s/chip", floor,
+                     blocks_per_dispatch=n_blocks)
 
 
 def _ts_buffers(rng, block_bytes: int, n: int):
@@ -100,6 +133,11 @@ def bench_dvbt(metrics) -> None:
     from dtv_utils_tpu.tx import dvbt as txd
     from dtv_utils_tpu.utils.timing import timed_segments
 
+    # Serving shape: 4 independent muxes round-robin, one superframe per
+    # dispatch.  The dispatch-size sweep (BENCH_NOTES.md) showed the
+    # batched shard_map path LOSES here (165 vs 213 Msps at 8 blocks —
+    # vmap/shard_map materializes layouts the single-superframe program
+    # fuses), so the multiplexed shape stays.
     cfg = DvbtConfig(mode=TransmissionMode.M8K, bandwidth_mhz=8,
                      constellation=Constellation.QAM64,
                      code_rate=CodeRate.R7_8, guard=GuardInterval.G1_32)
@@ -115,52 +153,37 @@ def bench_dvbt(metrics) -> None:
     per_seg = [seg_rounds * n_streams * cfg.samples_per_superframe / dt / 1e6
                for dt in dts]
     _emit_throughput(metrics, "dvbt_8k_qam64_r78_iq_throughput", per_seg,
-                     "Msamples/s/chip", DVBT_FLOOR_MSPS)
+                     "Msamples/s/chip", DVBT_FLOOR_MSPS,
+                     blocks_per_dispatch=1, streams=n_streams)
 
 
 def bench_dvbt2(metrics) -> None:
     import jax
     from dtv_utils_tpu.models.dvbt2 import PROFILES
     from dtv_utils_tpu.tx import dvbt2 as txt2
-    from dtv_utils_tpu.utils.timing import timed_segments
 
     cfg = PROFILES["bbc"]
-    fn = jax.jit(lambda ts, st: txt2.modulate_frame(cfg, ts, st),
-                 donate_argnums=(1,))
-    n_streams, n_rounds, warmup = 2, 8, 2
-    rng = np.random.default_rng(1)
-    bufs = _ts_buffers(rng, cfg.payload_bytes_per_frame,
-                       n_rounds * n_streams)
-    states = [txt2.init_state(cfg) for _ in range(n_streams)]
-    dts = timed_segments(fn, bufs, states, warmup=warmup, segments=SEGMENTS)
-    seg_rounds = (n_rounds - warmup) // SEGMENTS
-    per_seg = [seg_rounds * n_streams * txt2.samples_per_frame(cfg) / dt / 1e6
-               for dt in dts]
-    _emit_throughput(metrics, "dvbt2_32k_bbc_iq_throughput", per_seg,
-                     "Msamples/s/chip", DVBT_FLOOR_MSPS)
+    from dtv_utils_tpu.parallel import stream as ps
+    mesh = ps.make_mesh(jax.devices()[:1])
+    run, sharding = ps.sharded_dvbt2_modulator(cfg, mesh)
+    _bench_batched(metrics, "dvbt2_32k_bbc_iq_throughput", run, sharding,
+                   n_blocks=4, block_bytes=cfg.payload_bytes_per_frame,
+                   samples_per_block=txt2.samples_per_frame(cfg),
+                   floor=DVBT_FLOOR_MSPS, seed=1)
 
 
 def bench_j83b(metrics) -> None:
     import jax
     from dtv_utils_tpu.core.config import J83bConfig
     from dtv_utils_tpu.tx import j83b as txq
-    from dtv_utils_tpu.utils.timing import timed_segments
 
     cfg = J83bConfig()
-    fn = jax.jit(lambda ts, st: txq.modulate_superblock(cfg, ts, st),
-                 donate_argnums=(1,))
-    n_streams, n_rounds, warmup = 4, 14, 2
-    rng = np.random.default_rng(2)
-    bufs = _ts_buffers(rng, txq.PACKETS_PER_SUPERBLOCK * 188,
-                       n_rounds * n_streams)
-    states = [txq.init_state(cfg) for _ in range(n_streams)]
-    out0, _st = fn(bufs[0], txq.init_state(cfg))
-    samples = int(out0.shape[0])      # IQ pairs per superblock (3,612,420)
-    dts = timed_segments(fn, bufs, states, warmup=warmup, segments=SEGMENTS)
-    seg_rounds = (n_rounds - warmup) // SEGMENTS
-    per_seg = [seg_rounds * n_streams * samples / dt / 1e6 for dt in dts]
-    _emit_throughput(metrics, "j83b_qam64_iq_throughput", per_seg,
-                     "Msamples/s/chip", J83B_FLOOR_MSPS)
+    from dtv_utils_tpu.parallel import stream as ps
+    mesh = ps.make_mesh(jax.devices()[:1])
+    run, sharding = ps.sharded_j83b_modulator(cfg, mesh)
+    _bench_batched(metrics, "j83b_qam64_iq_throughput", run, sharding,
+                   n_blocks=8, block_bytes=txq.PACKETS_PER_SUPERBLOCK * 188,
+                   samples_per_block=3612420, floor=J83B_FLOOR_MSPS, seed=2)
 
 
 def bench_papr(metrics) -> None:

@@ -187,17 +187,22 @@ def encode_to_carriers(cfg: DvbtConfig, ts: jax.Array,
     pkts = dispersed.reshape(n_pkt, 188)
     coded = DVBT_RS().encode_bytes(pkts).reshape(n_pkt * 204)
 
-    # 3. outer (Forney) convolutional interleaver.  out[12r + b] =
-    # ext[C + 12r + b - 204b]: one strided slice per branch, no index table.
+    # 3. outer (Forney) convolutional interleaver, shear form: with
+    # ext = carry ++ coded viewed [*, 12], out2d[r, b] = ext2d[r + C/12 -
+    # 17b, b] — run on the TRANSPOSED [12, *] layout where every branch is
+    # a contiguous row (one relayout transpose + a vmapped contiguous
+    # dynamic_slice, instead of 12 lane-strided slices).
     C = state.outer_carry.shape[0]
     ext = jnp.concatenate([state.outer_carry, coded])
     n_bytes = n_pkt * 204
     rows = n_bytes // OUTER_I
-    cols = [jax.lax.slice(ext, (C + b - OUTER_I * OUTER_M * b,),
-                          (C + b - OUTER_I * OUTER_M * b + OUTER_I * rows,),
-                          (OUTER_I,))
-            for b in range(OUTER_I)]
-    outer = jnp.stack(cols, axis=1).reshape(n_bytes)
+    extT = ext.reshape(-1, OUTER_I).T                  # [12, C/12 + rows]
+    starts = jnp.asarray(C // OUTER_I
+                         - OUTER_M * np.arange(OUTER_I, dtype=np.int32))
+    branches = jax.vmap(
+        lambda row, s: jax.lax.dynamic_slice(row, (s,), (rows,)))(
+        extT, starts)                                  # [12, rows]
+    outer = branches.T.reshape(n_bytes)
     new_outer_carry = ext[-C:]
 
     # 4+5. inner coder + puncture + demux + bit interleave as ONE int8 MXU
