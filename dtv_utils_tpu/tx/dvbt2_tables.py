@@ -178,6 +178,9 @@ _DEMUX = {
     T2Constellation.QAM256: (15, 1, 13, 3, 8, 11, 9, 5, 10, 6, 4, 2,
                              12, 14, 7, 0),
 }
+# §6.2: 256-QAM SHORT frames demux to 8 substreams, not 16 (table 12's
+# Nldpc=16200 row) — a distinct map, not a truncation of the normal one.
+_DEMUX_QAM256_SHORT = (7, 3, 1, 5, 2, 6, 4, 0)
 
 
 @functools.cache
@@ -189,9 +192,14 @@ def demux_perm(cfg: Dvbt2Config) -> np.ndarray:
     Nsub/v cells.
     """
     from dtv_utils_tpu.tx import t2_annex
-    loaded = t2_annex.demux_map(len(_DEMUX[cfg.constellation]))
-    table = np.asarray(loaded if loaded is not None
-                       else _DEMUX[cfg.constellation])
+    if (cfg.constellation is T2Constellation.QAM256
+            and cfg.frame_size is T2FrameSize.SHORT):
+        fallback = _DEMUX_QAM256_SHORT
+        loaded = t2_annex.demux_map(len(fallback), tag="16200_qam256")
+    else:
+        fallback = _DEMUX[cfg.constellation]
+        loaded = t2_annex.demux_map(len(fallback))
+    table = np.asarray(loaded if loaded is not None else fallback)
     nsub = len(table)
     dperm = np.empty(nsub, dtype=np.int32)
     for i in range(nsub):
@@ -322,7 +330,15 @@ SP_AMPLITUDE = {1: 4 / 3, 2: 4 / 3, 3: 7 / 4, 4: 7 / 4,
 CP_AMPLITUDE = {1024: 4 / 3, 2048: 4 / 3, 4096: 4 / 3, 8192: 4 / 3,
                 16384: 4 / 3, 32768: 8 / 3}
 EDGE_AMPLITUDE = 4 / 3
-P2_AMPLITUDE = 4 / 3        # PARITY-RISK: spec value is FFT-dependent
+P2_AMPLITUDE = 4 / 3        # PARITY-RISK recalled default; overridable by
+#                             data/t2/scalar_p2_amplitude.txt (spec value
+#                             is FFT-dependent — t2_annex.scalar loader)
+
+
+def p2_amplitude() -> float:
+    from dtv_utils_tpu.tx import t2_annex
+    loaded = t2_annex.scalar("p2_amplitude")
+    return P2_AMPLITUDE if loaded is None else loaded
 
 # number of continual pilots inserted by the stand-in plan (real sets are
 # annex tables: PARITY-RISK; counts kept small so the exact-budget trim in
@@ -453,7 +469,7 @@ def frame_plan(cfg: Dvbt2Config):
 
     # per-symbol pilot amplitude: P2 rows vs SP rows vs FC row
     amp = np.full(lf, SP_AMPLITUDE[cfg.pilot_pattern.number])
-    amp[:n_p2] = P2_AMPLITUDE
+    amp[:n_p2] = p2_amplitude()
 
     return dict(data_idx=data_idx, data_cnt=np.asarray(cnts, np.int32),
                 sp_idx=sp_idx, sp_valid=sp_valid, amp=amp,

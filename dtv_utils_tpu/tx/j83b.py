@@ -209,7 +209,10 @@ def interleave(symbols: jax.Array, carry: jax.Array) -> tuple[jax.Array, jax.Arr
 
     Formulation: with ext = carry ++ symbols viewed [*, I], the output is
     the column shear out2d[r, b] = ext2d[r + C/I - J*b, b] (C = carry
-    length, a multiple of I*J so C/I - J*b >= 0 for all branches).  The
+    length; non-negative slice starts for all branches need
+    C/I >= J*(I-1), i.e. C >= I*J*(I-1) — asserted below, because
+    jax.lax.dynamic_slice silently CLAMPS a negative start and would
+    corrupt the interleave instead of failing).  The
     shear runs on the TRANSPOSED [I, *] layout where each branch is a
     contiguous row: one relayout transpose, a vmapped dynamic_slice
     (contiguous lane reads), and a transpose back — replacing 128
@@ -217,6 +220,10 @@ def interleave(symbols: jax.Array, carry: jax.Array) -> tuple[jax.Array, jax.Arr
     n = symbols.shape[0]
     C = carry.shape[0]
     assert n % ILV_I == 0 and C % (ILV_I * ILV_J) == 0
+    # dynamic_slice clamps negative starts silently; require every branch
+    # start C/I - J*b >= 0 (ADVICE r4: C % (I*J) == 0 alone does NOT imply
+    # this — init_state's (I-1)*I*J happens to satisfy it exactly).
+    assert C // ILV_I >= ILV_J * (ILV_I - 1)
     rows = n // ILV_I
     ext = jnp.concatenate([carry, symbols])
     extT = ext.reshape(-1, ILV_I).T                  # [I, C/I + rows]

@@ -32,6 +32,100 @@ import numpy as np
 DATA_DIR = pathlib.Path(__file__).resolve().parent.parent / "data" / "t2"
 
 
+def _provenance(path: pathlib.Path) -> str:
+    """The '# provenance:' header of a data file (with continuation lines),
+    flattened to one line, or '' when absent."""
+    lines, active = [], False
+    for raw in path.read_text().splitlines():
+        if not raw.lstrip().startswith("#"):
+            break
+        body = raw.lstrip().lstrip("#").strip()
+        if body.startswith("provenance:"):
+            active = True
+            lines.append(body[len("provenance:"):].strip())
+        elif active:
+            lines.append(body)
+    return " ".join(lines)
+
+
+def table_status(cfg) -> list[dict]:
+    """Per-table provenance report for one Dvbt2Config: is each annex
+    table the chain would use INSTALLED (data file + its provenance
+    header) or a STAND-IN (structure-exact, not standard-compliant)?
+
+    Surfaceable via ``dtv dvbt2-mod --tables`` so a user knows whether the
+    IQ they are about to generate is decodable by real receivers
+    (dvbt2-blade.py:119-131 pins the gr-dtv chain whose tables are the
+    compliance target).  Rows: name, file, state ('installed'|'stand-in'|
+    'derived'|'config'), provenance/detail.
+    """
+    from dtv_utils_tpu.core.config import T2Constellation, T2FrameSize
+    from dtv_utils_tpu.rates.dvbt2 import TR_CELLS
+
+    rows: list[dict] = []
+
+    def add(name: str, fname: str | None, detail_standin: str,
+            state_override: str | None = None) -> None:
+        if state_override is not None:
+            rows.append({"name": name, "file": fname or "-",
+                         "state": state_override,
+                         "detail": detail_standin})
+            return
+        path = DATA_DIR / fname
+        if path.exists():
+            rows.append({"name": name, "file": fname, "state": "installed",
+                         "detail": _provenance(path) or "(no provenance "
+                         "header)"})
+        else:
+            rows.append({"name": name, "file": fname, "state": "stand-in",
+                         "detail": detail_standin})
+
+    frac = cfg.code_rate.fraction
+    add("LDPC parity addresses (annex A)",
+        f"ldpc_{cfg.nldpc}_{frac.numerator}_{frac.denominator}.txt",
+        "structure-exact IRA stand-in — IQ NOT decodable by standard "
+        "receivers")
+    if cfg.constellation is not T2Constellation.QPSK:
+        nc = {T2Constellation.QAM16: 8, T2Constellation.QAM64: 12,
+              T2Constellation.QAM256: 16}[cfg.constellation]
+        if (cfg.frame_size is T2FrameSize.SHORT
+                and cfg.constellation is T2Constellation.QAM256):
+            nc = 8
+        add("column twist tc (§6.1.3 tables 9-10)",
+            f"twist_{cfg.nldpc}_{nc}.txt", "recalled in-code table")
+        if (cfg.frame_size is T2FrameSize.SHORT
+                and cfg.constellation is T2Constellation.QAM256):
+            add("bit-to-cell demux (§6.2 table 12)",
+                "demux_8_16200_qam256.txt", "recalled in-code table")
+        else:
+            add("bit-to-cell demux (§6.2 table 12)", f"demux_{nc}.txt",
+                "recalled in-code table")
+    add("continual-pilot set (§9.2.4 annex)", f"cp_{cfg.fft_size}.txt",
+        "pseudo-random stand-in set at the exact budget count — pilot "
+        "positions NOT standard")
+    n_tr = TR_CELLS[cfg.fft_size]
+    add(f"tone reservation P2 ({n_tr} cells, annex H)",
+        f"tr_p2_{cfg.fft_size}.txt", "strided stand-in positions")
+    if cfg.papr_tr:
+        add(f"tone reservation data symbols ({n_tr} cells, annex H)",
+            f"tr_{cfg.fft_size}.txt", "pseudo-random stand-in positions")
+    add("cell-interleaver LFSR wires (§6.5)", None,
+        "derived LFSR structure; wire ordering is a structural stand-in",
+        state_override="stand-in")
+    add("freq-interleaver LFSR wires (§8.5)", None,
+        "derived LFSR structure; wire ordering is a structural stand-in",
+        state_override="stand-in")
+    add("P1 CDS / S1 S2 / scrambling (§9.8)", None,
+        "derived from generative rules, certified by Golay-pair property "
+        "(tests/test_t2_p1.py)", state_override="derived")
+    add("P2 pilot amplitude", "scalar_p2_amplitude.txt",
+        "recalled scalar 4/3 (spec value FFT-dependent) — PARITY.md")
+    add("L1 operator fields (cell/network/system id, frequency)", None,
+        "operator configuration via Dvbt2Config; defaults are "
+        "placeholders by design", state_override="config")
+    return rows
+
+
 def _read_rows(path: pathlib.Path) -> list[list[int]]:
     rows = []
     for line in path.read_text().splitlines():
@@ -132,13 +226,46 @@ def column_twist(nldpc: int, nc: int) -> tuple[int, ...] | None:
 
 
 @functools.cache
-def demux_map(n_substreams: int) -> tuple[int, ...] | None:
+def scalar(name: str) -> float | None:
+    """Optional recalled-scalar override (``scalar_<name>.txt``: one value,
+    either a decimal or a ``num/den`` rational, ``#`` comments allowed) —
+    the same provenance-labeled data mechanism as the annex tables, for
+    the standalone constants PARITY.md lists (P2 pilot amplitude).
+    Returns None when no file is installed."""
+    path = DATA_DIR / f"scalar_{name}.txt"
+    if not path.exists():
+        return None
+    toks = []
+    for line in path.read_text().splitlines():
+        line = line.split("#", 1)[0].strip()
+        if line:
+            toks.append(line)
+    if len(toks) != 1:
+        raise AnnexDataError(f"{path.name}: expected exactly one value")
+    tok = toks[0]
+    if "/" in tok:
+        num, den = tok.split("/")
+        return float(num) / float(den)
+    return float(tok)
+
+
+@functools.cache
+def demux_map(n_substreams: int, tag: str = "") -> tuple[int, ...] | None:
     """§6.2 table-12 bit-to-substream map (``demux_<nsub>.txt``: for each
     substream d in order, the output bit position y of substream d), or
     None when no file is installed.
 
+    ``tag`` disambiguates combinations that share a substream count but
+    not a table (256-QAM short frames use 8 substreams like 16-QAM):
+    ``demux_<nsub>_<tag>.txt`` is tried first, then ``demux_<nsub>.txt``
+    — except when a tag is given, the untagged file is NOT used as a
+    fallback (it describes a different constellation).
+
     Structural validation: a permutation of 0..n_substreams-1."""
-    path = DATA_DIR / f"demux_{n_substreams}.txt"
+    if tag:
+        path = DATA_DIR / f"demux_{n_substreams}_{tag}.txt"
+    else:
+        path = DATA_DIR / f"demux_{n_substreams}.txt"
     if not path.exists():
         return None
     vals = [v for row in _read_rows(path) for v in row]

@@ -180,7 +180,15 @@ def detect_p1(x: np.ndarray) -> int:
     prod_b = (x / ph)[: n - _B_LEN] * np.conj(x[_B_LEN:])
     cc = np.convolve(prod_c, np.ones(_C_LEN), mode="valid")
     cb = np.convolve(prod_b, np.ones(_B_LEN), mode="valid")
-    m = np.zeros(n - P1_LEN + 1, dtype=np.float64)
-    for t in range(len(m)):
-        m[t] = abs(cc[t]) + abs(cb[t + _C_LEN + _A_LEN - _B_LEN])
-    return int(np.argmax(m))
+    L = n - P1_LEN + 1
+    shift = _C_LEN + _A_LEN - _B_LEN
+    m = np.abs(cc[:L]) + np.abs(cb[shift:shift + L])
+    # The guard-correlation metric has an exact 2-sample plateau
+    # {t0, t0+1} at a P1 start (measured: both windows sum the same
+    # coherent products to float dust), so a bare argmax lands on t0+1
+    # about half the time — one sample late, which desyncs the whole
+    # frame FFT.  The true start is the plateau's FIRST index: take the
+    # earliest t within a small relative epsilon of the peak (the t0-1
+    # neighbour is ~0.4% lower, two orders above the epsilon).
+    peak = float(m.max())
+    return int(np.argmax(m >= peak * (1.0 - 1e-4)))

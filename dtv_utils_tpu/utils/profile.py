@@ -87,6 +87,14 @@ def _tree_nbytes(tree) -> float:
     return float(total)
 
 
+# Streaming hook (fail-open profiling, same lesson as bench.py r5): when
+# set, every StageReport is passed to this callback the moment it is
+# measured, so a budget kill mid-chain loses only the unmeasured tail —
+# on the tunnel each stage's standalone compile costs ~30-70 s and a
+# whole chain can exceed a subprocess budget (PROFILE r5 orchestration).
+ON_REPORT = None
+
+
 def profile_fn(name: str, fn, args, n_variants: int = 6) -> StageReport:
     """Compile ``fn(*args)``, read its cost analysis, and time it with
     execution-forced dispatches: one distinct pre-staged input per timed
@@ -104,13 +112,19 @@ def profile_fn(name: str, fn, args, n_variants: int = 6) -> StageReport:
     measurement noise.  The logical figure is kept as ``bytes_xla`` for
     fusion diagnostics (a large bytes_xla/bytes_io ratio = gather
     amplification XLA must hide in VMEM)."""
+    import sys
+
     import jax
 
     from dtv_utils_tpu.utils.timing import _probe
 
+    print(f"[profile] {name}: tracing/compiling", file=sys.stderr,
+          flush=True)
     jfn = jax.jit(fn)
     lowered = jfn.lower(*args)
     compiled = lowered.compile()
+    print(f"[profile] {name}: compiled, timing", file=sys.stderr,
+          flush=True)
     flops = bytes_xla = 0.0
     try:
         ca = compiled.cost_analysis()
@@ -144,8 +158,11 @@ def profile_fn(name: str, fn, args, n_variants: int = 6) -> StageReport:
         attainable = max(t_flop, t_mem)
         pct = 100.0 * attainable / (ms / 1e3) if ms > 0 else 0.0
         bound = "compute" if t_flop > t_mem else "memory"
-    return StageReport(name=name, ms=ms, flops=flops, bytes_io=bytes_io,
-                       bytes_xla=bytes_xla, roofline_pct=pct, bound=bound)
+    rep = StageReport(name=name, ms=ms, flops=flops, bytes_io=bytes_io,
+                      bytes_xla=bytes_xla, roofline_pct=pct, bound=bound)
+    if ON_REPORT is not None:
+        ON_REPORT(rep)
+    return rep
 
 
 def _ts_for(n_bytes: int, seed: int = 0) -> np.ndarray:
@@ -155,7 +172,7 @@ def _ts_for(n_bytes: int, seed: int = 0) -> np.ndarray:
     return ts
 
 
-def dvbt2_stages(cfg=None) -> list[StageReport]:
+def dvbt2_stages(cfg=None):
     """Stage-by-stage profile of the DVB-T2 chain (one T2 frame)."""
     import jax.numpy as jnp
 
@@ -187,7 +204,7 @@ def dvbt2_stages(cfg=None) -> list[StageReport]:
     ]
 
 
-def dvbt_stages(cfg=None) -> list[StageReport]:
+def dvbt_stages(cfg=None):
     """Stage profile of the DVB-T chain (one superframe)."""
     import jax.numpy as jnp
 
@@ -210,12 +227,11 @@ def dvbt_stages(cfg=None) -> list[StageReport]:
     ]
 
 
-def j83b_stages(cfg=None) -> list[StageReport]:
+def j83b_stages(cfg=None):
     """Stage profile of the J.83B chain (one superblock), including the
     sub-stages of encode_to_cells (its 26 ms r04 measurement was ~700x
     above the I/O roofline — the sub-rows attribute it)."""
     import jax.numpy as jnp
-    import numpy as np_
 
     from dtv_utils_tpu.core import bitops
     from dtv_utils_tpu.core.config import J83bConfig
@@ -267,7 +283,7 @@ def j83b_stages(cfg=None) -> list[StageReport]:
     ]
 
 
-def papr_stages(cfg=None) -> list[StageReport]:
+def papr_stages(cfg=None):
     """Stage profile of the PAPR analyzer's device scans (16M-complex
     chunk, the bench_papr shape)."""
     import jax.numpy as jnp
@@ -319,11 +335,14 @@ def cli(argv: list[str]) -> int:
             print(f"unknown chain <{name}> (choose from {list(CHAINS)})",
                   file=sys.stderr)
             return 255
+    global ON_REPORT
     for name in names:
-        reports = CHAINS[name]()
         if json_mode:
+            # stream each row the moment it is measured (fail-open: a
+            # budget kill mid-chain keeps every already-measured stage)
             m = Metrics(suppress_human=True)
-            for r in reports:
+
+            def _emit(r, name=name, m=m):
                 m.emit(f"profile.{name}.{r.name}", round(r.ms, 4), "ms",
                        gflop=round(r.flops / 1e9, 4),
                        mbytes_io=round(r.bytes_io / 1e6, 4),
@@ -331,7 +350,12 @@ def cli(argv: list[str]) -> int:
                        roofline_pct=(round(r.roofline_pct, 2)
                                      if r.roofline_pct is not None else None),
                        bound=r.bound)
+            ON_REPORT = _emit
+            try:
+                CHAINS[name]()
+            finally:
+                ON_REPORT = None
         else:
             print(f"== {name} ==")
-            print(format_table(reports))
+            print(format_table(CHAINS[name]()))
     return 0

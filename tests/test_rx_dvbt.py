@@ -64,6 +64,45 @@ def test_viterbi_block_seams_invisible():
     np.testing.assert_array_equal(outs[1], outs[2])
 
 
+def test_viterbi_rate78_seam_exact_near_threshold():
+    """VERDICT r4 #7 / advisor seam-depth caveat: at rate 7/8 near
+    threshold SNR the survivor merge depth exceeds the old fixed 96-step
+    overlap; seam_overlap scales it to 280, and this test pins the
+    restored guarantee — the block-parallel decode must equal the
+    whole-stream (single-block, no-seam) decode bit-for-bit on noisy
+    input, across several seeds so slow-merging noise patterns get a
+    chance to appear."""
+    rate = (7, 8)
+    n = 7 * 6000
+    for seed in range(4):
+        rng = np.random.default_rng(100 + seed)
+        bits = rng.integers(0, 2, n).astype(np.uint8)
+        enc = conv_encode(jnp.asarray(bits), jnp.zeros(6, jnp.uint8))
+        kept = np.asarray(enc).reshape(-1)[puncture_indices(rate, n)]
+        llr = 1.0 - 2.0 * kept.astype(np.float32)
+        # sigma 0.50 is ~2 dB BEYOND the rate-7/8 QEF operating point
+        # (post-Viterbi BER ~2% here vs the 2e-4 QEF target around sigma
+        # 0.42): the decode is NOT required to be error-free, only
+        # seam-independent.  Sweep evidence (committed r5): overlap 280 is
+        # seam-exact through sigma 0.50 across seeds; only at sigma 0.55
+        # (raw BER ~12%, an unusable channel) does the merge depth exceed
+        # it (560 restores equality there).
+        llr += rng.normal(0, 0.50, llr.shape).astype(np.float32)
+        llr = jnp.asarray(llr)
+        whole = np.asarray(viterbi_decode_punctured(llr, rate, block=n))
+        blocked = np.asarray(viterbi_decode_punctured(llr, rate,
+                                                      block=1024))
+        np.testing.assert_array_equal(blocked, whole)
+
+
+def test_seam_overlap_scales_with_rate():
+    from dtv_utils_tpu.ops.viterbi import OVERLAP, seam_overlap
+    assert seam_overlap(7, 1, 2) == OVERLAP            # unpunctured floor
+    assert seam_overlap(7, 7, 8) == 280                # 5*7/(1/8)
+    assert seam_overlap(7, 5, 6) == 210
+    assert seam_overlap(5, 4, 5) == 125                # J.83B component
+
+
 def test_rs_decoder_corrects_to_t():
     rng = np.random.default_rng(3)
     enc, dec = DVBT_RS(), DVBT_RS_DEC()

@@ -13,7 +13,7 @@ def data_dir(tmp_path, monkeypatch):
     monkeypatch.setattr(t2_annex, "DATA_DIR", tmp_path)
     loaders = (t2_annex.ldpc_rows, t2_annex.continual_pilots,
                t2_annex.tr_positions, t2_annex.column_twist,
-               t2_annex.demux_map)
+               t2_annex.demux_map, t2_annex.scalar)
     for fn in loaders:
         fn.cache_clear()
     yield tmp_path
@@ -125,3 +125,97 @@ def test_demux_structural_validation(data_dir):
     (data_dir / "demux_12.txt").write_text("11 7 3 10 6 2 9 5 1 8 4 4\n")
     with pytest.raises(t2_annex.AnnexDataError, match="permutation"):
         t2_annex.demux_map(12)
+
+
+def test_scalar_loader_rational_and_decimal(data_dir):
+    assert t2_annex.scalar("p2_amplitude") is None      # no file -> default
+    (data_dir / "scalar_p2_amplitude.txt").write_text(
+        "# provenance: test\n8/3\n")
+    t2_annex.scalar.cache_clear()
+    assert t2_annex.scalar("p2_amplitude") == pytest.approx(8 / 3)
+    t2_annex.scalar.cache_clear()
+    (data_dir / "scalar_p2_amplitude.txt").write_text("1.3333\n")
+    assert t2_annex.scalar("p2_amplitude") == pytest.approx(1.3333)
+    t2_annex.scalar.cache_clear()
+    (data_dir / "scalar_p2_amplitude.txt").write_text("1.0\n2.0\n")
+    with pytest.raises(t2_annex.AnnexDataError, match="one value"):
+        t2_annex.scalar("p2_amplitude")
+    # consumed by the table module
+    from dtv_utils_tpu.tx import dvbt2_tables as T2T
+    t2_annex.scalar.cache_clear()
+    (data_dir / "scalar_p2_amplitude.txt").write_text("8/3\n")
+    assert T2T.p2_amplitude() == pytest.approx(8 / 3)
+
+
+def test_demux_short_qam256_uses_tagged_file(data_dir):
+    # 256-QAM short frames demux to 8 substreams via demux_8_<tag>.txt;
+    # the untagged demux_8.txt (16-QAM) must NOT be used as a fallback.
+    (data_dir / "demux_8.txt").write_text("7 1 4 2 5 3 6 0\n")
+    assert t2_annex.demux_map(8, tag="16200_qam256") is None
+    (data_dir / "demux_8_16200_qam256.txt").write_text("7 3 1 5 2 6 4 0\n")
+    t2_annex.demux_map.cache_clear()
+    assert t2_annex.demux_map(8, tag="16200_qam256") == (7, 3, 1, 5,
+                                                         2, 6, 4, 0)
+
+
+# ---------------------------------------------------------------------------
+# The REAL installed files under dtv_utils_tpu/data/t2/ (round 5): load,
+# validate, and reach their consumers (VERDICT r4 #2 "installed-file paths
+# run, not skip").
+# ---------------------------------------------------------------------------
+
+def test_installed_twist_files_load_and_validate():
+    for nldpc, nc in [(64800, 8), (64800, 12), (64800, 16),
+                      (16200, 8), (16200, 12)]:
+        tc = t2_annex.column_twist(nldpc, nc)
+        assert tc is not None, f"twist_{nldpc}_{nc}.txt should be installed"
+        assert len(tc) == nc
+
+
+def test_installed_demux_files_load_and_validate():
+    assert t2_annex.demux_map(8) == (7, 1, 4, 2, 5, 3, 6, 0)
+    assert t2_annex.demux_map(12) == (11, 7, 3, 10, 6, 2, 9, 5, 1, 8, 4, 0)
+    assert len(t2_annex.demux_map(16)) == 16
+    assert t2_annex.demux_map(8, tag="16200_qam256") == (7, 3, 1, 5,
+                                                         2, 6, 4, 0)
+
+
+def test_installed_tr_1k_has_annex_cardinality():
+    # 1K TR set: exactly 10 cells (dvbt2rate.c:1108-1196), all in-band.
+    arr = t2_annex.tr_positions(1024, 853, 10)
+    assert arr is not None and len(arr) == 10
+    arr2 = t2_annex.tr_positions(2048, 1705, 18)
+    assert arr2 is not None and len(arr2) == 18
+
+
+def test_installed_files_feed_bbc_bit_interleaver():
+    # The BBC profile's bit interleaver must now be built from the
+    # installed twist file (values identical to the previous stand-in by
+    # construction — the point is the loader path runs).
+    from dtv_utils_tpu.core.config import Dvbt2Config
+    from dtv_utils_tpu.models.dvbt2 import PROFILES
+    from dtv_utils_tpu.tx import dvbt2_tables as T
+    cfg = PROFILES["bbc"]
+    assert t2_annex.column_twist(cfg.nldpc, 16) is not None
+    perm = T.bit_interleaver_perm(cfg)
+    assert sorted(perm.tolist()) == list(range(cfg.nldpc))
+
+
+def test_table_status_reflects_installed_files():
+    from dtv_utils_tpu.models.dvbt2 import PROFILES
+    rows = t2_annex.table_status(PROFILES["bbc"])
+    by_name = {r["name"]: r for r in rows}
+    twist = by_name["column twist tc (§6.1.3 tables 9-10)"]
+    assert twist["state"] == "installed"
+    assert "confidence" in twist["detail"]
+    ldpc = by_name["LDPC parity addresses (annex A)"]
+    assert ldpc["state"] == "stand-in"
+
+
+def test_tables_cli_reports_and_exit_code(capsys):
+    from dtv_utils_tpu.models import dvbt2 as m
+    rc = m.cli(["--tables", "--profile", "bbc"])
+    out = capsys.readouterr().out
+    assert rc == 3                      # stand-ins still active
+    assert "INSTALLED" in out and "STAND-IN" in out
+    assert "NOT decodable" in out
