@@ -62,3 +62,24 @@ def to_np(x: np.ndarray) -> np.ndarray:
     """Float32 pair array [..., 2] → NumPy complex64 [...]."""
     x = np.ascontiguousarray(np.asarray(x), dtype=np.float32)
     return x.view(np.complex64).reshape(x.shape[:-1])
+
+
+def rails_to_np(x: np.ndarray, axis: int = 0) -> np.ndarray:
+    """Rail-major float32 array (size-2 re/im ``axis``) → complex64.
+
+    Rail-major [2, n] is the DEVICE-side layout for long IQ streams: a
+    trailing pair axis makes the lane (minor-most) dimension 2, which the
+    TPU pads to its 128-lane tile — a 64x HBM expansion on every
+    materialized buffer (measured: the J.83B chain's [8, 3.6M, 2] temps
+    padded 469 MB → 15.8 GB, failing compile).  Pairs remain the HOST
+    format (.cfile interleaved IQ); this converter is the boundary."""
+    x = np.asarray(x, dtype=np.float32)
+    re_ = np.take(x, 0, axis=axis)
+    im_ = np.take(x, 1, axis=axis)
+    return (re_ + 1j * im_).astype(np.complex64)
+
+
+def rails_from_np(c: np.ndarray, axis: int = 0) -> np.ndarray:
+    """Complex array → rail-major float32 with re/im stacked at ``axis``."""
+    c = np.ascontiguousarray(c, dtype=np.complex64)
+    return np.stack([c.real, c.imag], axis=axis)

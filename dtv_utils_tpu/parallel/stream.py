@@ -277,12 +277,13 @@ def sharded_j83b_modulator(cfg, mesh: Mesh, axis: str = "seq"):
         def one(ts_i, carry_i, ca_i, cb_i):
             st = txq.J83bState(ilv_carry=carry_i, conv_a=ca_i, conv_b=cb_i,
                                diff_state=jnp.zeros(2, jnp.uint8),
-                               rrc_tail=jnp.zeros((49, 2), jnp.float32))
-            cells, st2 = txq.encode_to_cells(cfg, ts_i, st)
+                               rrc_tail=jnp.zeros((2, 49), jnp.float32))
+            cells, st2 = txq.encode_to_cells(cfg, ts_i, st)   # [2, n]
             w, z = st2.diff_state[0], st2.diff_state[1]
             q_sum = (w.astype(jnp.int32) << 1) | (w ^ z).astype(jnp.int32)
             return cells, q_sum
         cells, q_sums = jax.vmap(one)(ts_local, carries, conv_a, conv_b)
+        # cells: rail-major [L, 2, n] — long axis minor (no tile padding)
 
         # ---- exact quadrant-prefix rotation ----
         local_excl = jnp.cumsum(q_sums) - q_sums            # [L]
@@ -290,16 +291,16 @@ def sharded_j83b_modulator(cfg, mesh: Mesh, axis: str = "seq"):
         dev_excl = jnp.sum(
             jnp.where(jnp.arange(n_dev) < d, totals, 0))
         offsets = (local_excl + dev_excl) & 3               # [L]
-        cells = jnp.einsum("lnc,lcd->lnd", cells,
-                           jnp.asarray(rot_mats)[offsets],
-                           preferred_element_type=jnp.float32)
+        # rails' = R^T @ rails (the pair-form out_d = Σ_c x_c·R[c,d])
+        cells = jnp.einsum("lcd,lcn->ldn", jnp.asarray(rot_mats)[offsets],
+                           cells, preferred_element_type=jnp.float32)
 
         # ---- RRC histories: previous block's last 49 rotated cells ----
-        my_last_cells = cells[-1, -49:, :]
+        my_last_cells = cells[-1, :, -49:]
         prev_cells0 = jax.lax.ppermute(
             my_last_cells, axis,
             [(i, (i + 1) % n_dev) for i in range(n_dev)])
-        tails = jnp.concatenate([prev_cells0[None], cells[:-1, -49:, :]],
+        tails = jnp.concatenate([prev_cells0[None], cells[:-1, :, -49:]],
                                 axis=0)
         tails = jnp.where(is_first[:, None, None], 0.0, tails)
 
@@ -307,7 +308,7 @@ def sharded_j83b_modulator(cfg, mesh: Mesh, axis: str = "seq"):
         def rrc_one(cells_i, tail_i):
             iq, _ = txq.rrc_interpolate(cells_i, tail_i, taps)
             return iq
-        return jax.vmap(rrc_one)(cells, tails)
+        return jax.vmap(rrc_one)(cells, tails)    # [L, 2, 2n] rail-major
 
     sharded = jax.shard_map(local_fn, mesh=mesh,
                             in_specs=P(axis, None), out_specs=P(axis, None))

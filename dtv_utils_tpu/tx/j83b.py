@@ -86,10 +86,14 @@ CONSTELLATION_64 = np.array([
     -5+5j, -5-5j, 7+5j, -5+7j, -5-7j, 7-5j, 7-7j, 7+7j,
 ], dtype=np.complex64)
 
-# pair-form LUT for the device path (float32 [64, 2]; core/cplx.py)
+# pair-form LUT (float32 [64, 2]; host-side and rx use)
 CONSTELLATION_64_PAIRS = np.stack(
     [CONSTELLATION_64.real, CONSTELLATION_64.imag], axis=-1
 ).astype(np.float32)
+# rail-major LUT for the device path (float32 [2, 64]): indexing with a
+# symbol array gives [2, n] — lane dim n, no TPU tile padding (a [n, 2]
+# gather output's lane dim of 2 pads 64x; core/cplx.rails_to_np)
+CONSTELLATION_64_RAILS = np.ascontiguousarray(CONSTELLATION_64_PAIRS.T)
 
 
 # ---------------------------------------------------------------------------
@@ -164,7 +168,7 @@ class J83bState:
     conv_a: jax.Array       # uint8 [4] encoder A memory (most recent first)
     conv_b: jax.Array       # uint8 [4] encoder B memory
     diff_state: jax.Array   # uint8 [2] differential precoder (W, Z)
-    rrc_tail: jax.Array     # float32 [49, 2] filter history (IQ pairs)
+    rrc_tail: jax.Array     # float32 [2, 49] filter history (rail-major)
 
 
 def init_state(cfg: J83bConfig | None = None) -> J83bState:
@@ -173,7 +177,7 @@ def init_state(cfg: J83bConfig | None = None) -> J83bState:
         conv_a=jnp.zeros(4, jnp.uint8),
         conv_b=jnp.zeros(4, jnp.uint8),
         diff_state=jnp.zeros(2, jnp.uint8),
-        rrc_tail=jnp.zeros((49, 2), jnp.float32),
+        rrc_tail=jnp.zeros((2, 49), jnp.float32),
     )
 
 
@@ -338,15 +342,17 @@ def rrc_taps(cfg: J83bConfig) -> np.ndarray:
 
 def rrc_interpolate(cells: jax.Array, tail: jax.Array,
                     taps: np.ndarray) -> tuple[jax.Array, jax.Array]:
-    """Interpolate-by-2 polyphase RRC: IQ pairs [n, 2] → [2n, 2] + history.
+    """Interpolate-by-2 polyphase RRC: rail-major IQ [2, n] → [2, 2n] +
+    history [2, 49].
 
-    output[2m + p] = Σ_k h[2k + p] · x[m + 49 − k]: one real conv per
-    phase over (re, im) as a batch of 2 — the pair layout makes complex
-    convolution two float32 convolutions, the native TPU formulation.
+    output[:, 2m + p] = Σ_k h[2k + p] · x[:, m + 49 − k]: one real conv
+    per phase over (re, im) as a batch of 2 — rail-major makes complex
+    convolution two float32 convolutions with the long axis minor, the
+    native TPU formulation (no 2-lane tile padding anywhere).
     """
-    n = cells.shape[0]
-    ext = jnp.concatenate([tail, cells])             # [49 + n, 2]
-    x = ext.T                                        # [2, 49+n]
+    n = cells.shape[1]
+    ext = jnp.concatenate([tail, cells], axis=1)     # [2, 49 + n]
+    x = ext
     from dtv_utils_tpu.ops.fir import pallas_enabled, polyphase_interp2
     if jax.default_backend() == "tpu" and pallas_enabled():
         # Pallas overlap-save kernel: one HBM read + one write per sample
@@ -362,7 +368,7 @@ def rrc_interpolate(cells: jax.Array, tail: jax.Array,
         # bit-stable across program contexts (tests/test_parallel.py's
         # sharded == modulate_stream bit-identity relies on this).
         out = _interp2_conv(x, taps, n)
-    return out.T, ext[-49:]
+    return out, ext[:, -49:]
 
 
 def _interp2_slices(x: jax.Array, taps: np.ndarray, n: int) -> jax.Array:
@@ -401,8 +407,13 @@ def _interp2_conv(x: jax.Array, taps: np.ndarray, n: int) -> jax.Array:
 
 def encode_to_cells(cfg: J83bConfig, ts: jax.Array,
                     state: J83bState) -> tuple[jax.Array, J83bState]:
-    """Stages framing … 64-QAM map: ts uint8 [6405*188] → IQ pair cells
-    [1,806,210, 2] + next state (rrc_tail unchanged here)."""
+    """Stages framing … 64-QAM map: ts uint8 [6405*188] → rail-major IQ
+    cells [2, 1,806,210] + next state (rrc_tail unchanged here).
+
+    Rail-major because a [n, 2] pair layout's 2-lane minor dim is padded
+    to the TPU's 128-lane tile on every materialized buffer (measured
+    64x HBM expansion; it OOMed the 8-block batched compile and made
+    every smaller batch pathologically slow to compile)."""
     del cfg
     n_pkt = PACKETS_PER_SUPERBLOCK
     framed = transport_framing(ts.reshape(n_pkt, 188)).reshape(-1)
@@ -431,7 +442,7 @@ def encode_to_cells(cfg: J83bConfig, ts: jax.Array,
     # trellis-coded modulation → 6-bit words → constellation
     words, conv_a, conv_b, diff = trellis_encode(
         frame_bits, state.conv_a, state.conv_b, state.diff_state)
-    cells = jnp.asarray(CONSTELLATION_64_PAIRS)[words]
+    cells = jnp.asarray(CONSTELLATION_64_RAILS)[:, words]
     return cells, J83bState(ilv_carry=ilv_carry, conv_a=conv_a,
                             conv_b=conv_b, diff_state=diff,
                             rrc_tail=state.rrc_tail)
@@ -439,7 +450,8 @@ def encode_to_cells(cfg: J83bConfig, ts: jax.Array,
 
 def modulate_superblock(cfg: J83bConfig, ts: jax.Array,
                         state: J83bState) -> tuple[jax.Array, J83bState]:
-    """188 FEC frames: ts uint8 [6405*188] → IQ pairs [3,612,420, 2]."""
+    """188 FEC frames: ts uint8 [6405*188] → rail-major IQ
+    [2, 3,612,420] (cplx.rails_to_np converts to host complex/pairs)."""
     cells, state = encode_to_cells(cfg, ts, state)
     iq, rrc_tail = rrc_interpolate(cells, state.rrc_tail, rrc_taps(cfg))
     return iq, J83bState(ilv_carry=state.ilv_carry, conv_a=state.conv_a,
@@ -462,5 +474,5 @@ def modulate_stream(cfg: J83bConfig, ts: np.ndarray,
     out = []
     for i in range(len(ts) // blk):
         iq, state = fn(jnp.asarray(ts[i * blk:(i + 1) * blk]), state)
-        out.append(cplx.to_np(iq))
+        out.append(cplx.rails_to_np(iq))
     return (np.concatenate(out) if out else np.empty(0, np.complex64)), state

@@ -233,7 +233,7 @@ def j83b_stages(cfg=None):
     above the I/O roofline — the sub-rows attribute it)."""
     import jax.numpy as jnp
 
-    from dtv_utils_tpu.core import bitops
+    from dtv_utils_tpu.core import bits as bitops
     from dtv_utils_tpu.core.config import J83bConfig
     from dtv_utils_tpu.tx import j83b as txq
 
@@ -271,9 +271,9 @@ def j83b_stages(cfg=None):
                    (cw.astype(jnp.int32), st.ilv_carry)),
         profile_fn("  sub: trellis+map",
                    lambda fb, st_=st: jnp.asarray(
-                       txq.CONSTELLATION_64_PAIRS)[
-                       txq.trellis_encode(fb, st_.conv_a, st_.conv_b,
-                                          st_.diff_state)[0]],
+                       txq.CONSTELLATION_64_RAILS)[
+                       :, txq.trellis_encode(fb, st_.conv_a, st_.conv_b,
+                                             st_.diff_state)[0]],
                    (frame_bits,)),
         profile_fn("rrc_interpolate",
                    lambda c, t: txq.rrc_interpolate(c, t, taps),

@@ -49,7 +49,7 @@ def test_cells_vs_serial_oracle():
     cfg = J83bConfig()
     state = J.init_state(cfg)
     got, _ = J.encode_to_cells(cfg, jnp.asarray(ts), state)
-    got = cplx.to_np(got)
+    got = cplx.rails_to_np(got)          # device layout is rail-major
     assert got.shape == want.shape
     np.testing.assert_array_equal(got, want)
 
@@ -99,11 +99,11 @@ def test_rrc_interpolator_vs_serial():
 
     st = J.init_state(cfg)
     got1, tail = J.rrc_interpolate(
-        jnp.asarray(cplx.from_np(cells[:300])), st.rrc_tail, taps)
+        jnp.asarray(cplx.rails_from_np(cells[:300])), st.rrc_tail, taps)
     got2, _ = J.rrc_interpolate(
-        jnp.asarray(cplx.from_np(cells[300:])), tail, taps)
-    np.testing.assert_allclose(cplx.to_np(got1), want1, atol=1e-5)
-    np.testing.assert_allclose(cplx.to_np(got2), want2, atol=1e-5)
+        jnp.asarray(cplx.rails_from_np(cells[300:])), tail, taps)
+    np.testing.assert_allclose(cplx.rails_to_np(got1), want1, atol=1e-5)
+    np.testing.assert_allclose(cplx.rails_to_np(got2), want2, atol=1e-5)
 
 
 def test_modulate_stream_shapes():

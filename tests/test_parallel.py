@@ -109,7 +109,7 @@ def test_sharded_j83b_equals_sequential():
     run, in_sharding = sharded_j83b_modulator(cfg, mesh)
     ts_dev = jax.device_put(jnp.asarray(ts.reshape(n_blocks, blk)),
                             in_sharding)
-    got = cplx.to_np(np.asarray(run(ts_dev)))
+    got = cplx.rails_to_np(np.asarray(run(ts_dev)), axis=1)  # [L, 2, 2n]
     np.testing.assert_array_equal(got, want)
 
 

@@ -85,7 +85,7 @@ def test_sharded_j83b_output_decodes():
     run, in_sharding = sharded_j83b_modulator(cfg, mesh)
     ts_dev = jax.device_put(jnp.asarray(ts.reshape(n_blocks, blk)),
                             in_sharding)
-    iq = cplx.to_np(np.asarray(run(ts_dev))).reshape(-1)
+    iq = cplx.rails_to_np(np.asarray(run(ts_dev)), axis=1).reshape(-1)
 
     res = demodulate_stream(cfg, iq)
     n = len(res.ts)
