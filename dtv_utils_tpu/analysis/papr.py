@@ -89,7 +89,7 @@ def _pass2_chunk(raw: jax.Array, levels: jax.Array):
     chunk, no materialized [n, L] intermediate).  The earlier
     searchsorted+bincount formulation lowered to per-element binary-search
     gathers + a scatter: 155 ms vs 8 ms for pass 1 on the same bytes
-    (PROFILE_r03).  Zero-padded tails are safe: power 0 never exceeds a
+    (PROFILE_r05's pass-1/pass-2 rows).  Zero-padded tails are safe: power 0 never exceeds a
     positive level."""
     r = raw.reshape(-1, _LANE)
     i = r[:, 0::2]

@@ -32,7 +32,7 @@ HALO = 128           # lane width (min lane-divisible size ≥ ntaps//2-1 = 49)
 TILE = 4096
 # Time rows per grid step.  One 4096-lane row per step left the kernel
 # latency-bound (~880 sequential grid steps ≈ 19 ms for a superblock,
-# ~190x off roofline — PROFILE_r04); batching rows amortizes the per-step
+# ~190x off roofline, round-4 session profile); batching rows amortizes the per-step
 # cost while keeping each vector op at the Mosaic-safe 4096-lane width.
 ROWS = 8
 

@@ -104,7 +104,7 @@ def profile_fn(name: str, fn, args, n_variants: int = 6) -> StageReport:
     Roofline bytes model: XLA's ``bytes accessed`` counts LOGICAL traffic —
     every gather/broadcast operand at full size, per use — which for
     gather-heavy interleaver stages exceeds physical HBM traffic by >3x
-    (PROFILE_r03 reported 350-400% of roofline: impossible).  The score
+    (the superseded PROFILE_r03 reported 350-400% of roofline: impossible).  The score
     therefore uses ``bytes_io`` = argument + result buffer bytes, a true
     LOWER bound on HBM traffic for any fused program (inputs must be read
     from HBM at least not-at-all..once, outputs written exactly once), so
