@@ -200,11 +200,13 @@ def encode_to_carriers(cfg: DvbtConfig, ts: jax.Array,
     n_bytes = n_pkt * 204
     rows = n_bytes // OUTER_I
     extT = ext.reshape(-1, OUTER_I).T                  # [12, C/12 + rows]
-    starts = jnp.asarray(C // OUTER_I
-                         - OUTER_M * np.arange(OUTER_I, dtype=np.int32))
-    branches = jax.vmap(
-        lambda row, s: jax.lax.dynamic_slice(row, (s,), (rows,)))(
-        extT, starts)                                  # [12, rows]
+    # static per-branch slices (starts are Python ints; a vmapped
+    # dynamic_slice forced dynamic lowering that dominated XLA compile
+    # time on the TPU backend — see tx/j83b.py interleave)
+    branches = jnp.stack(
+        [jax.lax.slice(extT, (b, C // OUTER_I - OUTER_M * b),
+                       (b + 1, C // OUTER_I - OUTER_M * b + rows))[0]
+         for b in range(OUTER_I)])                     # [12, rows]
     outer = branches.T.reshape(n_bytes)
     new_outer_carry = ext[-C:]
 

@@ -231,11 +231,14 @@ def interleave(symbols: jax.Array, carry: jax.Array) -> tuple[jax.Array, jax.Arr
     rows = n // ILV_I
     ext = jnp.concatenate([carry, symbols])
     extT = ext.reshape(-1, ILV_I).T                  # [I, C/I + rows]
-    starts = jnp.asarray(C // ILV_I
-                         - ILV_J * np.arange(ILV_I, dtype=np.int32))
-    branches = jax.vmap(
-        lambda row, s: jax.lax.dynamic_slice(row, (s,), (rows,)))(
-        extT, starts)                                # [I, rows]
+    # branch starts C/I - J*b are Python ints — STATIC slices, not a
+    # vmapped dynamic_slice (traced per-lane starts forced dynamic-slice
+    # lowering whose alias/layout analysis dominated the chain's XLA
+    # compile time on the TPU backend; 128 static slices fuse trivially)
+    branches = jnp.stack(
+        [jax.lax.slice(extT, (b, C // ILV_I - ILV_J * b),
+                       (b + 1, C // ILV_I - ILV_J * b + rows))[0]
+         for b in range(ILV_I)])                     # [I, rows]
     out = branches.T.reshape(n)
     return out, ext[-C:]
 

@@ -41,6 +41,9 @@ class StageReport:
     bytes_xla: float             # XLA cost_analysis "bytes accessed"
     roofline_pct: float | None   # attainable/measured (None off-TPU)
     bound: str                   # "memory" | "compute" | "?"
+    temp_bytes: float = 0.0      # XLA memory_analysis temp allocation —
+    #                              includes layout padding, so temp_bytes >>
+    #                              bytes_io flags tile-padding bloat
 
     @property
     def ai(self) -> float:
@@ -95,6 +98,26 @@ def _tree_nbytes(tree) -> float:
 ON_REPORT = None
 
 
+def _railify(out):
+    """Move any trailing size-2 pair axis of float32 leaves to the front.
+
+    Profiling materializes each stage's OUTPUT as a standalone buffer; a
+    pair-minor [..., 2] float32 boundary then gets the TPU's 128-lane tile
+    pad (64x HBM) and the compile fights memory pressure for minutes —
+    boundaries the full fused chain never materializes.  Returning the
+    same values rail-major keeps the buffer unpadded; the moveaxis rides
+    the same fusion and its cost is part of the honest stage measurement."""
+    import jax
+    import jax.numpy as jnp
+
+    def one(leaf):
+        if (getattr(leaf, "dtype", None) == jnp.float32
+                and getattr(leaf, "ndim", 0) >= 2 and leaf.shape[-1] == 2):
+            return jnp.moveaxis(leaf, -1, 0)
+        return leaf
+    return jax.tree_util.tree_map(one, out)
+
+
 def profile_fn(name: str, fn, args, n_variants: int = 6) -> StageReport:
     """Compile ``fn(*args)``, read its cost analysis, and time it with
     execution-forced dispatches: one distinct pre-staged input per timed
@@ -120,6 +143,8 @@ def profile_fn(name: str, fn, args, n_variants: int = 6) -> StageReport:
 
     print(f"[profile] {name}: tracing/compiling", file=sys.stderr,
           flush=True)
+    raw_fn = fn
+    fn = lambda *a: _railify(raw_fn(*a))    # noqa: E731  (see _railify)
     jfn = jax.jit(fn)
     lowered = jfn.lower(*args)
     compiled = lowered.compile()
@@ -132,6 +157,12 @@ def profile_fn(name: str, fn, args, n_variants: int = 6) -> StageReport:
             ca = ca[0] if ca else {}
         flops = float(ca.get("flops", 0.0))
         bytes_xla = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        pass
+    temp_bytes = 0.0
+    try:
+        ma = compiled.memory_analysis()
+        temp_bytes = float(getattr(ma, "temp_size_in_bytes", 0.0))
     except Exception:
         pass
     bytes_io = _tree_nbytes(args) + _tree_nbytes(jax.eval_shape(fn, *args))
@@ -159,7 +190,8 @@ def profile_fn(name: str, fn, args, n_variants: int = 6) -> StageReport:
         pct = 100.0 * attainable / (ms / 1e3) if ms > 0 else 0.0
         bound = "compute" if t_flop > t_mem else "memory"
     rep = StageReport(name=name, ms=ms, flops=flops, bytes_io=bytes_io,
-                      bytes_xla=bytes_xla, roofline_pct=pct, bound=bound)
+                      bytes_xla=bytes_xla, roofline_pct=pct, bound=bound,
+                      temp_bytes=temp_bytes)
     if ON_REPORT is not None:
         ON_REPORT(rep)
     return rep
@@ -347,6 +379,7 @@ def cli(argv: list[str]) -> int:
                        gflop=round(r.flops / 1e9, 4),
                        mbytes_io=round(r.bytes_io / 1e6, 4),
                        mbytes_xla=round(r.bytes_xla / 1e6, 4),
+                       mbytes_temp=round(r.temp_bytes / 1e6, 4),
                        roofline_pct=(round(r.roofline_pct, 2)
                                      if r.roofline_pct is not None else None),
                        bound=r.bound)
