@@ -258,8 +258,14 @@ def encode_to_carriers(cfg: DvbtConfig, ts: jax.Array,
 
 
 def carriers_to_iq(cfg: DvbtConfig, carriers: jax.Array) -> jax.Array:
-    """Stages 9-10: carrier grid [n_sym, K, 2] → IQ pairs
-    [n_sym * (fft + guard), 2]."""
+    """Stages 9-10: carrier grid [n_sym, K, 2] → rail-major IQ
+    [2, n_sym * (fft + guard)].
+
+    Rail-major output because this buffer is ALWAYS materialized (it is
+    the jit result): a [n, 2] pair layout would put the 2-wide pair axis
+    in the TPU's 128-lane minor dimension and pad the buffer 64x (the
+    j83b chain measured 469 MB -> 15.8 GB; see tx/j83b.py r5).  Pairs
+    remain the host format via cplx.rails_to_np."""
     fft = cfg.fft_size
     gi = cfg.guard_samples
     K = cfg.mode.carriers
@@ -271,13 +277,13 @@ def carriers_to_iq(cfg: DvbtConfig, carriers: jax.Array) -> jax.Array:
     # unnormalized inverse FFT (FFTW convention of fft.fft_vcc, shift=True)
     time = ifft_pairs(ifftshift_pairs(spec))
     sym_out = jnp.concatenate([time[:, fft - gi:], time], axis=1)
-    return (sym_out * OUTPUT_SCALE).reshape(-1, 2)
+    return jnp.moveaxis(sym_out * OUTPUT_SCALE, -1, 0).reshape(2, -1)
 
 
 def modulate_superframe(cfg: DvbtConfig, ts: jax.Array,
                         state: DvbtState) -> tuple[jax.Array, DvbtState]:
-    """One superframe: ts uint8 [ts_bytes_per_superframe] → IQ float32
-    pairs [272 * (fft + guard), 2], plus the next stream state.
+    """One superframe: ts uint8 [ts_bytes_per_superframe] → rail-major IQ
+    float32 [2, 272 * (fft + guard)], plus the next stream state.
 
     jit with cfg static: ``jax.jit(modulate_superframe, static_argnums=0)``.
     """
@@ -304,5 +310,5 @@ def modulate_stream(cfg: DvbtConfig, ts: np.ndarray,
     out = []
     for i in range(len(ts) // blk):
         iq, state = fn(jnp.asarray(ts[i * blk:(i + 1) * blk]), state)
-        out.append(cplx.to_np(iq))
+        out.append(cplx.rails_to_np(iq))
     return np.concatenate(out) if out else np.empty(0, np.complex64), state

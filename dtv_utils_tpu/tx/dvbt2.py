@@ -539,9 +539,11 @@ def papr_reduce_tr(cfg: Dvbt2Config, time_syms: jax.Array) -> jax.Array:
 
 
 def grid_to_iq(cfg: Dvbt2Config, grid: jax.Array) -> jax.Array:
-    """Carrier grid [L_F, K, 2] -> one T2 frame of IQ pairs
-    [2048 + L_F*(fft+gi), 2]: centered IFFT, [tone-reservation PAPR,]
-    cyclic prefix, P1 prepend."""
+    """Carrier grid [L_F, K, 2] -> one T2 frame of rail-major IQ
+    [2, 2048 + L_F*(fft+gi)]: centered IFFT, [tone-reservation PAPR,]
+    cyclic prefix, P1 prepend.  Rail-major for the same reason as
+    tx/dvbt.carriers_to_iq (jit results are always materialized; a
+    trailing pair axis is tile-padded 64x on TPU)."""
     from dtv_utils_tpu.ops.cfft import ifft_pairs, ifftshift_pairs
     fft = cfg.fft_size
     gi = cfg.guard_samples
@@ -554,14 +556,16 @@ def grid_to_iq(cfg: Dvbt2Config, grid: jax.Array) -> jax.Array:
     if cfg.papr_tr:
         time = papr_reduce_tr(cfg, time)
     sym = jnp.concatenate([time[:, fft - gi:], time], axis=1)
-    body = sym.reshape(-1, 2) * (OUTPUT_SCALE / np.sqrt(fft))
-    p1 = jnp.asarray(_p1_samples(cfg)) * OUTPUT_SCALE
-    return jnp.concatenate([p1, body], axis=0)
+    body = (jnp.moveaxis(sym, -1, 0).reshape(2, -1)
+            * (OUTPUT_SCALE / np.sqrt(fft)))
+    p1 = jnp.asarray(_p1_samples(cfg).T) * OUTPUT_SCALE      # [2, 2048]
+    return jnp.concatenate([p1, body], axis=1)
 
 
 def modulate_frame(cfg: Dvbt2Config, ts: jax.Array, state: Dvbt2State
                    ) -> tuple[jax.Array, Dvbt2State]:
-    """One T2 frame: TS bytes [payload_bytes_per_frame] -> IQ pairs.
+    """One T2 frame: TS bytes [payload_bytes_per_frame] -> rail-major IQ
+    [2, samples_per_frame].
 
     jit with cfg static: jax.jit(modulate_frame, static_argnums=0).
     """
@@ -589,7 +593,7 @@ def modulate_stream(cfg: Dvbt2Config, ts: np.ndarray,
     out = []
     for i in range(len(ts) // blk):
         iq, state = fn(jnp.asarray(ts[i * blk:(i + 1) * blk]), state)
-        out.append(cplx.to_np(iq))
+        out.append(cplx.rails_to_np(iq))
     return (np.concatenate(out) if out else np.empty(0, np.complex64)), state
 
 

@@ -53,11 +53,13 @@ def main() -> int:
     # serial oracle over the full stream (verification only)
     full = np.asarray(data).copy()
     serial, _ = txd.modulate_stream(cfg, full, txd.init_state(cfg))
-    pairs = np.stack([serial.real, serial.imag], -1).astype(np.float32)
     per = cfg.samples_per_superframe
     assert first_block == start
     for i in range(stop - start):
-        want = pairs[(start + i) * per: (start + i + 1) * per].reshape(-1)
+        blk_c = serial[(start + i) * per: (start + i + 1) * per]
+        # device output is rail-major [2, per] (tx/dvbt.py r5)
+        want = np.stack([blk_c.real, blk_c.imag], 0).astype(
+            np.float32).reshape(-1)
         got = mine[i].reshape(-1)
         if not np.array_equal(got, want):
             print(f"MULTIHOST_MISMATCH pid={pid} block={start + i}",

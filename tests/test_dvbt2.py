@@ -137,16 +137,16 @@ def test_full_frame_modulation_geometry():
     import jax
     fn = jax.jit(t2.modulate_frame, static_argnums=0)
     iq, state = fn(cfg, jnp.asarray(ts), state)
-    iq = np.asarray(iq)
-    assert iq.shape == (t2.samples_per_frame(cfg), 2)
-    assert np.all(np.isfinite(iq))
+    iq = cplx.rails_to_np(np.asarray(iq))        # [2, n] rail-major device
+    assert iq.shape == (t2.samples_per_frame(cfg),)
+    assert np.all(np.isfinite(iq.view(np.float32)))
     # cyclic prefix property on the first data symbol after P1
     fft, gi = cfg.fft_size, cfg.guard_samples
     sym = iq[2048:2048 + gi + fft]
     np.testing.assert_allclose(sym[:gi], sym[-gi:], atol=1e-4)
     # P1 is 2048 samples and deterministic
-    np.testing.assert_array_equal(iq[:2048],
-                                  t2._p1_samples(cfg) * t2.OUTPUT_SCALE)
+    np.testing.assert_array_equal(
+        iq[:2048], cplx.to_np(t2._p1_samples(cfg) * t2.OUTPUT_SCALE))
 
 
 def test_pilot_grid_structure():
@@ -227,13 +227,12 @@ def test_tone_reservation_preserves_data_cells():
     ts = _ts(cfg)
     cells, _ = t2.payload_cells(cfg, jnp.asarray(ts), t2.init_state(cfg))
     grid = np.asarray(t2.build_frame_grid(cfg, cells))     # pre-TR truth
-    iq = np.asarray(t2.grid_to_iq(cfg, jnp.asarray(grid)))
+    iq = cplx.rails_to_np(np.asarray(t2.grid_to_iq(cfg, jnp.asarray(grid))))
 
     fft, gi, K = cfg.fft_size, cfg.guard_samples, cfg.carriers
     lf = cfg.frame_symbols
-    body = iq[2048:].reshape(lf, fft + gi, 2)[:, gi:]      # drop P1 + CP
-    sym = (body[..., 0] + 1j * body[..., 1]) / (t2.OUTPUT_SCALE
-                                                / np.sqrt(fft))
+    body = iq[2048:].reshape(lf, fft + gi)[:, gi:]         # drop P1 + CP
+    sym = body / (t2.OUTPUT_SCALE / np.sqrt(fft))
     spec = np.fft.fftshift(np.fft.fft(sym), axes=-1) / fft
     left = (fft - K + 1) // 2
     rec = spec[:, left:left + K]

@@ -55,7 +55,7 @@ def test_sharded_equals_sequential_8dev():
     run, in_sharding = sharded_dvbt_modulator(CFG, mesh)
     ts_dev = jax.device_put(jnp.asarray(ts.reshape(n_blocks, blk)),
                             in_sharding)
-    got = cplx.to_np(np.asarray(run(ts_dev)))
+    got = cplx.rails_to_np(np.asarray(run(ts_dev)), axis=1)  # [L, 2, n]
     np.testing.assert_array_equal(got, want)
 
 
@@ -72,7 +72,7 @@ def test_batched_equals_sequential():
     fn = batched_dvbt_modulator(CFG)
     iq = fn(jnp.asarray(ts.reshape(n_blocks, blk)),
             jnp.zeros(HALO_PACKETS * 188, jnp.uint8), jnp.int32(0))
-    got = cplx.to_np(np.asarray(iq)).reshape(n_blocks, -1)
+    got = cplx.rails_to_np(np.asarray(iq), axis=1).reshape(n_blocks, -1)
     np.testing.assert_array_equal(got, want)
 
     # continuation: second batch starting mid-stream
@@ -81,7 +81,7 @@ def test_batched_equals_sequential():
     want2 = want2.reshape(n_blocks + 2, -1)[n_blocks:]
     iq2 = fn(jnp.asarray(ts2.reshape(2, blk)),
              jnp.asarray(ts[-HALO_PACKETS * 188:]), jnp.int32(n_blocks))
-    got2 = cplx.to_np(np.asarray(iq2)).reshape(2, -1)
+    got2 = cplx.rails_to_np(np.asarray(iq2), axis=1).reshape(2, -1)
     np.testing.assert_array_equal(got2, want2)
 
 
@@ -132,5 +132,5 @@ def test_sharded_dvbt2_equals_sequential():
     run, in_sharding = sharded_dvbt2_modulator(cfg, mesh)
     ts_dev = jax.device_put(jnp.asarray(ts.reshape(n_frames, blk)),
                             in_sharding)
-    got = cplx.to_np(np.asarray(run(ts_dev)))
+    got = cplx.rails_to_np(np.asarray(run(ts_dev)), axis=1)
     np.testing.assert_array_equal(got, want)

@@ -37,7 +37,7 @@ def test_sharded_dvbt_output_decodes():
     run, in_sharding = sharded_dvbt_modulator(CFG, mesh)
     ts_dev = jax.device_put(jnp.asarray(ts.reshape(n_blocks, blk)),
                             in_sharding)
-    iq = cplx.to_np(np.asarray(run(ts_dev))).reshape(-1)
+    iq = cplx.rails_to_np(np.asarray(run(ts_dev)), axis=1).reshape(-1)
 
     res = demodulate_stream(CFG, iq)
     n = len(res.ts)
@@ -61,7 +61,7 @@ def test_sharded_dvbt2_output_decodes():
     run, in_sharding = sharded_dvbt2_modulator(cfg, mesh)
     ts_dev = jax.device_put(jnp.asarray(ts.reshape(n_frames, blk)),
                             in_sharding)
-    iq = cplx.to_np(np.asarray(run(ts_dev))).reshape(-1)
+    iq = cplx.rails_to_np(np.asarray(run(ts_dev)), axis=1).reshape(-1)
 
     res = demodulate_stream(cfg, iq)
     n = len(res.ts)
