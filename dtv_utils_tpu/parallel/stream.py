@@ -82,7 +82,8 @@ def derive_state(cfg: DvbtConfig, prev_tail: jax.Array,
 
 
 def sharded_dvbt_modulator(cfg: DvbtConfig, mesh: Mesh, axis: str = "seq"):
-    """Build a jit'd function [n_blocks, ts_bytes] → [n_blocks, samples]
+    """Build a jit'd function [n_blocks, ts_bytes] → rail-major
+    [n_blocks, 2, samples]
     with both axes block-sharded over ``mesh`` along the time dimension.
 
     n_blocks must be a multiple of the mesh size.  Block 0 starts a fresh
