@@ -48,24 +48,49 @@ def _plan(n: int, sign: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return to_pair(w2), to_pair(tw), to_pair(w1)
 
 
-def _cmm_right(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """[..., m, k, 2] @ [k, p, 2] -> [..., m, p, 2] complex matmul."""
-    xr, xi = x[..., 0], x[..., 1]
-    wr, wi = w[..., 0], w[..., 1]
+def _cmm_right_ri(xr, xi, w):
+    """rails [..., m, k] @ pair-plan [k, p, 2] -> rails [..., m, p]."""
+    wr = jnp.asarray(w[..., 0])
+    wi = jnp.asarray(w[..., 1])
     dot = functools.partial(jnp.matmul, precision=_HI)
-    return jnp.stack([dot(xr, wr) - dot(xi, wi),
-                      dot(xr, wi) + dot(xi, wr)], axis=-1)
+    return (dot(xr, wr) - dot(xi, wi), dot(xr, wi) + dot(xi, wr))
 
 
-def _cmm_left(w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """[c, b, 2] @ [..., b, d, 2] -> [..., c, d, 2] complex matmul."""
-    xr, xi = x[..., 0], x[..., 1]
-    wr, wi = w[..., 0], w[..., 1]
+def _cmm_left_ri(w, xr, xi):
+    """pair-plan [c, b, 2] @ rails [..., b, d] -> rails [..., c, d]."""
+    wr = jnp.asarray(w[..., 0])
+    wi = jnp.asarray(w[..., 1])
     ein = functools.partial(jnp.einsum, precision=_HI)
-    return jnp.stack(
-        [ein("cb,...bd->...cd", wr, xr) - ein("cb,...bd->...cd", wi, xi),
-         ein("cb,...bd->...cd", wr, xi) + ein("cb,...bd->...cd", wi, xr)],
-        axis=-1)
+    return (ein("cb,...bd->...cd", wr, xr) - ein("cb,...bd->...cd", wi, xi),
+            ein("cb,...bd->...cd", wr, xi) + ein("cb,...bd->...cd", wi, xr))
+
+
+def fft_ri(xr: jnp.ndarray, xi: jnp.ndarray, sign: int = -1
+           ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Unnormalized DFT along the LAST axis of separate re/im rails.
+
+    The rails form is the TPU-native one: every intermediate stays a pure
+    float32 array with the long transform axis minor — no [..., 2] pair
+    stacks between the sub-steps (a pair-minor stack materialized by XLA
+    gets the 128-lane tile pad: 64x HBM).  fft_pairs/fft_rails are thin
+    wrappers over this.
+    """
+    n = xr.shape[-1]
+    w2, tw, w1 = _plan(n, sign)
+    n2 = w2.shape[0]
+    n1 = w1.shape[0]
+    if n1 == 1:
+        return _cmm_right_ri(xr, xi, w2)
+    lead = xr.shape[:-1]
+    gr = jnp.swapaxes(xr.reshape(*lead, n2, n1), -2, -1)  # [..., n1, n2]
+    gi = jnp.swapaxes(xi.reshape(*lead, n2, n1), -2, -1)
+    sr, si = _cmm_right_ri(gr, gi, w2)                # DFT over a (len n2)
+    twr = jnp.asarray(tw[..., 0])
+    twi = jnp.asarray(tw[..., 1])
+    tr = sr * twr - si * twi                          # twiddle W_N^{bd}
+    ti = sr * twi + si * twr
+    outr, outi = _cmm_left_ri(w1, tr, ti)             # DFT over b (len n1)
+    return outr.reshape(*lead, n), outi.reshape(*lead, n)
 
 
 def fft_pairs(x: jnp.ndarray, sign: int = -1) -> jnp.ndarray:
@@ -75,20 +100,26 @@ def fft_pairs(x: jnp.ndarray, sign: int = -1) -> jnp.ndarray:
     convention the reference chains are calibrated to — divide by n for the
     mathematical inverse).
     """
-    n = x.shape[-2]
-    w2, tw, w1 = _plan(n, sign)
-    n2 = w2.shape[0]
-    n1 = w1.shape[0]
-    if n1 == 1:
-        return _cmm_right(x, jnp.asarray(w2))
-    lead = x.shape[:-2]
-    g = x.reshape(*lead, n2, n1, 2)
-    g = jnp.swapaxes(g, -3, -2)                       # [..., n1, n2, 2]
-    s = _cmm_right(g, jnp.asarray(w2))                # DFT over a (len n2)
-    from dtv_utils_tpu.core.cplx import cmul
-    t = cmul(s, jnp.asarray(tw))                      # twiddle W_N^{bd}
-    out = _cmm_left(jnp.asarray(w1), t)               # DFT over b (len n1)
-    return out.reshape(*lead, n, 2)
+    outr, outi = fft_ri(x[..., 0], x[..., 1], sign)
+    return jnp.stack([outr, outi], axis=-1)
+
+
+def fft_rails(x: jnp.ndarray, sign: int = -1) -> jnp.ndarray:
+    """Unnormalized DFT along the last axis of a rail-major array
+    [..., 2, n] (re at index 0 of axis -2, im at 1)."""
+    outr, outi = fft_ri(x[..., 0, :], x[..., 1, :], sign)
+    return jnp.stack([outr, outi], axis=-2)
+
+
+def ifft_rails(x: jnp.ndarray) -> jnp.ndarray:
+    """Unnormalized inverse DFT on rails [..., 2, n] (see fft_pairs)."""
+    return fft_rails(x, sign=+1)
+
+
+def ifftshift_rails(x: jnp.ndarray) -> jnp.ndarray:
+    """numpy.fft.ifftshift along the last axis of a rails array."""
+    n = x.shape[-1]
+    return jnp.roll(x, -(n // 2), axis=-1)
 
 
 def ifft_pairs(x: jnp.ndarray) -> jnp.ndarray:

@@ -214,8 +214,13 @@ def fec_encode(cfg: Dvbt2Config, bbframes: jax.Array) -> jax.Array:
 
 
 def interleave_and_map(cfg: Dvbt2Config, fecframes: jax.Array) -> jax.Array:
-    """FECFRAMEs [blocks, nldpc] -> cells [blocks, ncells, 2] pairs:
-    bit interleaver + demux + map + rotation Q-delay."""
+    """FECFRAMEs [blocks, nldpc] -> rail-major cells [2, blocks, ncells]:
+    bit interleaver + demux + map + rotation Q-delay.
+
+    Rail-major from here to the OFDM back end: the payload-sized gathers
+    downstream (cell/time interleave, frame assembly — ~2M cells for the
+    32K BBC frame) materialize their outputs, and a pair-minor [*, 2]
+    layout is tile-padded 64x on TPU (see tx/j83b.py r5)."""
     p = _plan(cfg)
     v = cfg.constellation.bits_per_symbol
     x = fecframes
@@ -231,37 +236,38 @@ def interleave_and_map(cfg: Dvbt2Config, fecframes: jax.Array) -> jax.Array:
     y = jnp.take(x.T, jnp.asarray(comp), axis=0).T
     words = jnp.sum(y.reshape(x.shape[0], -1, v).astype(jnp.int32)
                     * jnp.asarray(p["pow2"]), axis=-1)
-    cells = jnp.asarray(p["lut"])[words]                   # [blocks, nc, 2]
+    lut_rails = np.ascontiguousarray(p["lut"].T)           # [2, m]
+    cells = jnp.asarray(lut_rails)[:, words]               # [2, blocks, nc]
     if cfg.rotation:
         # cyclic Q delay of one cell within the FEC block (§6.3.3)
-        q = jnp.roll(cells[..., 1], 1, axis=1)
-        cells = jnp.stack([cells[..., 0], q], axis=-1)
+        q = jnp.roll(cells[1], 1, axis=1)
+        cells = jnp.stack([cells[0], q], axis=0)
     return cells
 
 
 def cell_time_interleave(cfg: Dvbt2Config, cells: jax.Array) -> jax.Array:
-    """[blocks, ncells, 2] -> interleaving-frame payload [blocks*ncells, 2]:
-    per-block cell interleaver, then row-column time interleaver per TI
-    block (§6.4-6.5)."""
+    """rail-major [2, blocks, ncells] -> interleaving-frame payload
+    [2, blocks*ncells]: per-block cell interleaver, then row-column time
+    interleaver per TI block (§6.4-6.5)."""
     p = _plan(cfg)
-    nb, ncells0 = cells.shape[0], cells.shape[1]
+    nb, ncells0 = cells.shape[1], cells.shape[2]
     flat_idx = (np.arange(nb, dtype=np.int32)[:, None] * ncells0
                 + p["ci_gather"]).reshape(-1)
-    ci = jnp.take(cells.reshape(-1, 2), jnp.asarray(flat_idx),
-                  axis=0).reshape(nb, ncells0, 2)
+    ci = jnp.take(cells.reshape(2, -1), jnp.asarray(flat_idx),
+                  axis=1).reshape(2, nb, ncells0)
     out = []
     start = 0
     ncells = cfg.cells_per_fec_block
     assert ncells % 5 == 0
     nr = ncells // 5
     for size in p["ti_sizes"]:
-        blk = ci[start:start + size]                   # [size, ncells, 2]
+        blk = ci[:, start:start + size]                # [2, size, ncells]
         nc = size * 5
         # write column-wise [nc, nr], read row-wise -> transpose
-        mem = blk.reshape(nc, nr, 2)
-        out.append(jnp.swapaxes(mem, 0, 1).reshape(size * ncells, 2))
+        mem = blk.reshape(2, nc, nr)
+        out.append(jnp.swapaxes(mem, 1, 2).reshape(2, size * ncells))
         start += size
-    return jnp.concatenate(out, axis=0)
+    return jnp.concatenate(out, axis=1)
 
 
 def payload_cells(cfg: Dvbt2Config, ts: jax.Array, state: Dvbt2State
@@ -418,32 +424,39 @@ def _frame_arrays(cfg: Dvbt2Config):
 
 def _assemble_grid(cfg: Dvbt2Config, payload: jax.Array,
                    src_key: str) -> jax.Array:
+    """payload rails [2, n] -> grid rails [2, L_F, K].  The frame gather
+    is THE payload-sized materialization of the chain (~2M cells at 32K);
+    per-rail gathering keeps the long axis minor (no tile padding)."""
     fa = _frame_arrays(cfg)
     l1 = _l1_plan(cfg)
     stream = jnp.concatenate([
-        jnp.asarray(l1["pre_cells"]), jnp.asarray(l1["post_cells"]),
-        payload, jnp.asarray(fa["dummy"])], axis=0)
+        jnp.asarray(np.ascontiguousarray(l1["pre_cells"].T)),
+        jnp.asarray(np.ascontiguousarray(l1["post_cells"].T)),
+        payload,
+        jnp.asarray(np.ascontiguousarray(fa["dummy"].T))], axis=1)
     lf, K = fa["lf"], fa["K"]
-    # one composed row-gather: grid[l,k] = stream[src[l,k]] on data cells
-    vals = jnp.take(stream, jnp.asarray(fa[src_key]).reshape(-1), axis=0)
-    mask = jnp.asarray(fa["data_mask"]).reshape(-1, 1)
-    grid = jnp.where(mask, vals, jnp.asarray(fa["pilot_grid"]).reshape(-1, 2))
-    return grid.reshape(lf, K, 2)
+    # one composed gather per rail: grid[:, l, k] = stream[:, src[l, k]]
+    vals = jnp.take(stream, jnp.asarray(fa[src_key]).reshape(-1), axis=1)
+    mask = jnp.asarray(fa["data_mask"]).reshape(1, -1)
+    pilots = np.ascontiguousarray(
+        fa["pilot_grid"].reshape(-1, 2).T)             # [2, lf*K]
+    grid = jnp.where(mask, vals, jnp.asarray(pilots))
+    return grid.reshape(2, lf, K)
 
 
 def build_frame_grid(cfg: Dvbt2Config, payload: jax.Array) -> jax.Array:
-    """PLP payload cells [n_payload, 2] (already cell/time-interleaved) ->
-    carrier grid [L_F, K, 2] with L1, dummy cells, frequency interleaving
-    and pilots."""
+    """PLP payload cells rails [2, n_payload] (already cell/time-
+    interleaved) -> carrier grid rails [2, L_F, K] with L1, dummy cells,
+    frequency interleaving and pilots."""
     return _assemble_grid(cfg, payload, "src")
 
 
 def build_frame_grid_fused(cfg: Dvbt2Config, cells: jax.Array) -> jax.Array:
-    """Mapped cells [blocks, ncells, 2] (NOT yet cell/time-interleaved) ->
-    carrier grid, with the §6.4/§6.5 interleavers composed into the frame
-    gather (bit-identical to cell_time_interleave + build_frame_grid; see
-    test_fused_frame_assembly)."""
-    return _assemble_grid(cfg, cells.reshape(-1, 2), "src_fused")
+    """Mapped cells rails [2, blocks, ncells] (NOT yet cell/time-
+    interleaved) -> carrier grid, with the §6.4/§6.5 interleavers composed
+    into the frame gather (bit-identical to cell_time_interleave +
+    build_frame_grid; see test_fused_frame_assembly)."""
+    return _assemble_grid(cfg, cells.reshape(2, -1), "src_fused")
 
 
 # ---------------------------------------------------------------------------
@@ -501,8 +514,9 @@ def _tr_kernel(cfg: Dvbt2Config) -> np.ndarray:
 
 
 def papr_reduce_tr(cfg: Dvbt2Config, time_syms: jax.Array) -> jax.Array:
-    """Iterative clip-and-filter tone reservation on the time-domain
-    symbols [lf, fft, 2] (vclip 3.3, 3 iterations — dvbt2-blade.py:53-54).
+    """Iterative clip-and-filter tone reservation on rail-major
+    time-domain symbols [2, lf, fft] (vclip 3.3, 3 iterations —
+    dvbt2-blade.py:53-54).
 
     Each iteration finds the peak sample of every symbol and, where its
     magnitude exceeds vclip (relative to RMS), subtracts the circularly
@@ -510,54 +524,60 @@ def papr_reduce_tr(cfg: Dvbt2Config, time_syms: jax.Array) -> jax.Array:
     symbol's reserved carriers only (P2 symbols use the tr_p2 kernel, data
     symbols tr_data), so data cells are untouched (verified by the
     round-trip FFT check in tests/test_dvbt2.py)."""
-    kern = jnp.asarray(_tr_kernel(cfg))             # [2, fft, 2]
+    kern = _tr_kernel(cfg)                          # [2 kinds, fft, 2]
+    kern_r = jnp.asarray(np.ascontiguousarray(kern[..., 0]))
+    kern_i = jnp.asarray(np.ascontiguousarray(kern[..., 1]))
     fft = cfg.fft_size
-    lf = time_syms.shape[0]
+    lf = time_syms.shape[1]
     kind = (jnp.arange(lf) >= cfg.n_p2).astype(jnp.int32)   # 0=P2, 1=data
 
     def one_iter(x, _):
-        power = x[..., 0] ** 2 + x[..., 1] ** 2     # [lf, fft]
+        xr, xi = x[0], x[1]                         # [lf, fft]
+        power = xr ** 2 + xi ** 2
         rms = jnp.sqrt(jnp.mean(power, axis=1, keepdims=True))
         m = jnp.argmax(power, axis=1)               # [lf]
-        peak = jnp.take_along_axis(
-            x, m[:, None, None].repeat(2, 2), axis=1)[:, 0]   # [lf, 2]
-        mag = jnp.sqrt(peak[:, 0] ** 2 + peak[:, 1] ** 2)
+        pr = jnp.take_along_axis(xr, m[:, None], axis=1)[:, 0]
+        pi_ = jnp.take_along_axis(xi, m[:, None], axis=1)[:, 0]
+        mag = jnp.sqrt(pr ** 2 + pi_ ** 2)
         clip = PAPR_VCLIP * rms[:, 0]
         excess = jnp.maximum(mag - clip, 0.0)
         scale = jnp.where(mag > 0, excess / jnp.maximum(mag, 1e-30), 0.0)
-        alpha = peak * scale[:, None]               # complex excess [lf, 2]
-        # x -= alpha * roll(kern[kind], m) per symbol (complex mul on pairs)
+        ar = (pr * scale)[:, None]                  # complex excess [lf, 1]
+        ai = (pi_ * scale)[:, None]
+        # x -= alpha * roll(kern[kind], m) per symbol (complex mul on rails)
         idx = (jnp.arange(fft)[None, :] - m[:, None]) % fft
-        k = kern[kind[:, None], idx]                # [lf, fft, 2]
-        kr, ki = k[..., 0], k[..., 1]
-        ar, ai = alpha[:, :1], alpha[:, 1:]
-        corr = jnp.stack([ar * kr - ai * ki, ar * ki + ai * kr], axis=-1)
-        return x - corr, None
+        kr = kern_r[kind[:, None], idx]             # [lf, fft]
+        ki = kern_i[kind[:, None], idx]
+        out_r = xr - (ar * kr - ai * ki)
+        out_i = xi - (ar * ki + ai * kr)
+        return jnp.stack([out_r, out_i], axis=0), None
 
     x, _ = jax.lax.scan(one_iter, time_syms, None, length=PAPR_ITERATIONS)
     return x
 
 
 def grid_to_iq(cfg: Dvbt2Config, grid: jax.Array) -> jax.Array:
-    """Carrier grid [L_F, K, 2] -> one T2 frame of rail-major IQ
+    """Carrier grid rails [2, L_F, K] -> one T2 frame of rail-major IQ
     [2, 2048 + L_F*(fft+gi)]: centered IFFT, [tone-reservation PAPR,]
-    cyclic prefix, P1 prepend.  Rail-major for the same reason as
-    tx/dvbt.carriers_to_iq (jit results are always materialized; a
-    trailing pair axis is tile-padded 64x on TPU)."""
-    from dtv_utils_tpu.ops.cfft import ifft_pairs, ifftshift_pairs
+    cyclic prefix, P1 prepend.  Rail-major end-to-end: every
+    payload-sized buffer keeps its long axis minor (the pair axis in the
+    TPU's 128-lane minor dim would tile-pad 64x), and the FFT itself runs
+    on separate re/im rails (ops/cfft.fft_ri) with no pair stacks."""
+    from dtv_utils_tpu.ops.cfft import fft_ri, ifftshift_rails
     fft = cfg.fft_size
     gi = cfg.guard_samples
     K = cfg.carriers
-    lf = grid.shape[0]
+    lf = grid.shape[1]
     left = (fft - K + 1) // 2
-    spec = jnp.zeros((lf, fft, 2), dtype=jnp.float32)
-    spec = spec.at[:, left:left + K].set(grid)
-    time = ifft_pairs(ifftshift_pairs(spec))       # unnormalized reverse
+    spec = jnp.zeros((2, lf, fft), dtype=jnp.float32)
+    spec = spec.at[:, :, left:left + K].set(grid)
+    spec = ifftshift_rails(spec)
+    tr_, ti_ = fft_ri(spec[0], spec[1], sign=+1)   # unnormalized reverse
+    time = jnp.stack([tr_, ti_], axis=0)           # [2, lf, fft]
     if cfg.papr_tr:
         time = papr_reduce_tr(cfg, time)
-    sym = jnp.concatenate([time[:, fft - gi:], time], axis=1)
-    body = (jnp.moveaxis(sym, -1, 0).reshape(2, -1)
-            * (OUTPUT_SCALE / np.sqrt(fft)))
+    sym = jnp.concatenate([time[:, :, fft - gi:], time], axis=2)
+    body = sym.reshape(2, -1) * (OUTPUT_SCALE / np.sqrt(fft))
     p1 = jnp.asarray(_p1_samples(cfg).T) * OUTPUT_SCALE      # [2, 2048]
     return jnp.concatenate([p1, body], axis=1)
 

@@ -84,11 +84,13 @@ def test_map_and_interleave_vs_serial():
                        dtype=np.uint8)
     want_cells = oracle.map_cells(oracle.bit_interleave(fec))
     got_cells = t2.interleave_and_map(cfg, jnp.asarray(fec))
-    np.testing.assert_allclose(cplx.to_np(got_cells), want_cells, atol=1e-6)
+    np.testing.assert_allclose(cplx.rails_to_np(got_cells), want_cells,
+                               atol=1e-6)
 
     want_ti = oracle.cell_time_interleave(want_cells)
     got_ti = t2.cell_time_interleave(cfg, got_cells)
-    np.testing.assert_allclose(cplx.to_np(got_ti), want_ti, atol=1e-6)
+    np.testing.assert_allclose(cplx.rails_to_np(got_ti), want_ti,
+                               atol=1e-6)
 
 
 def test_fecframe_is_valid_codeword():
@@ -110,7 +112,7 @@ def test_payload_cell_count_matches_budget():
     state = t2.init_state(cfg)
     ts = _ts(cfg, 1, seed=11)
     cells, _ = t2.payload_cells(cfg, jnp.asarray(ts), state)
-    assert cells.shape == (cfg.fec_blocks * cfg.cells_per_fec_block, 2)
+    assert cells.shape == (2, cfg.fec_blocks * cfg.cells_per_fec_block)
 
 
 def test_frame_budget_matches_rate_oracle():
@@ -174,7 +176,7 @@ def test_tone_reservation_reduces_papr():
     """Same carrier grid, with vs without the TR pass: the pass must lower
     the frame PAPR (the budgets differ between papr_tr on/off, so comparing
     two different frames would not isolate the TR algorithm)."""
-    from dtv_utils_tpu.ops.cfft import ifft_pairs, ifftshift_pairs
+    from dtv_utils_tpu.ops.cfft import fft_ri, ifftshift_rails
 
     cfg = Dvbt2Config(papr_tr=True)
     rng = np.random.default_rng(7)
@@ -182,16 +184,18 @@ def test_tone_reservation_reduces_papr():
     ts[::188] = 0x47
 
     cells, _ = t2.payload_cells(cfg, jnp.asarray(ts), t2.init_state(cfg))
-    grid = t2.build_frame_grid(cfg, cells)
+    grid = t2.build_frame_grid(cfg, cells)              # rails [2, lf, K]
     fft, K = cfg.fft_size, cfg.carriers
     left = (fft - K + 1) // 2
-    spec = jnp.zeros((grid.shape[0], fft, 2), dtype=jnp.float32)
-    spec = spec.at[:, left:left + K].set(grid)
-    time = ifft_pairs(ifftshift_pairs(spec))
+    spec = jnp.zeros((2, grid.shape[1], fft), dtype=jnp.float32)
+    spec = spec.at[:, :, left:left + K].set(grid)
+    spec = ifftshift_rails(spec)
+    tr_, ti_ = fft_ri(spec[0], spec[1], sign=+1)
+    time = jnp.stack([tr_, ti_], axis=0)                # rails [2, lf, fft]
 
     def papr_db(x):
         x = np.asarray(x)
-        p = x[..., 0] ** 2 + x[..., 1] ** 2
+        p = x[0] ** 2 + x[1] ** 2
         return 10 * np.log10(p.max() / p.mean())
 
     before = papr_db(time)
@@ -236,7 +240,7 @@ def test_tone_reservation_preserves_data_cells():
     spec = np.fft.fftshift(np.fft.fft(sym), axes=-1) / fft
     left = (fft - K + 1) // 2
     rec = spec[:, left:left + K]
-    want = grid[..., 0] + 1j * grid[..., 1]
+    want = grid[0] + 1j * grid[1]
 
     corr = np.abs(rec - want)
     changed = corr > 1e-3
