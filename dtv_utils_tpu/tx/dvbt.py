@@ -37,7 +37,7 @@ import numpy as np
 from dtv_utils_tpu.core import bits as bitops
 from dtv_utils_tpu.core import cplx
 from dtv_utils_tpu.core.config import DvbtConfig
-from dtv_utils_tpu.ops.cfft import ifft_pairs, ifftshift_pairs
+
 from dtv_utils_tpu.core.prbs import dvbt_dispersal_mask
 from dtv_utils_tpu.ops.interleave import forney_carry_len
 from dtv_utils_tpu.ops.rs import DVBT_RS
@@ -266,18 +266,24 @@ def carriers_to_iq(cfg: DvbtConfig, carriers: jax.Array) -> jax.Array:
     in the TPU's 128-lane minor dimension and pad the buffer 64x (the
     j83b chain measured 469 MB -> 15.8 GB; see tx/j83b.py r5).  Pairs
     remain the host format via cplx.rails_to_np."""
+    from dtv_utils_tpu.ops.cfft import fft_ri, ifftshift_rails
     fft = cfg.fft_size
     gi = cfg.guard_samples
     K = cfg.mode.carriers
     n_sym = carriers.shape[0]
-    # center carriers (zeros_on_left = ceil((fft-K)/2), as gr-dtv lays out)
+    # center carriers (zeros_on_left = ceil((fft-K)/2), as gr-dtv lays out);
+    # rails from here on so the FFT working set and output keep the long
+    # axis minor (no 2-lane tile padding)
+    rails = jnp.moveaxis(carriers, -1, 0)              # [2, n_sym, K]
     left = (fft - K + 1) // 2
-    spec = jnp.zeros((n_sym, fft, 2), dtype=jnp.float32)
-    spec = spec.at[:, left:left + K].set(carriers)
+    spec = jnp.zeros((2, n_sym, fft), dtype=jnp.float32)
+    spec = spec.at[:, :, left:left + K].set(rails)
     # unnormalized inverse FFT (FFTW convention of fft.fft_vcc, shift=True)
-    time = ifft_pairs(ifftshift_pairs(spec))
-    sym_out = jnp.concatenate([time[:, fft - gi:], time], axis=1)
-    return jnp.moveaxis(sym_out * OUTPUT_SCALE, -1, 0).reshape(2, -1)
+    spec = ifftshift_rails(spec)
+    tr_, ti_ = fft_ri(spec[0], spec[1], sign=+1)
+    time = jnp.stack([tr_, ti_], axis=0)               # [2, n_sym, fft]
+    sym_out = jnp.concatenate([time[:, :, fft - gi:], time], axis=2)
+    return (sym_out * OUTPUT_SCALE).reshape(2, -1)
 
 
 def modulate_superframe(cfg: DvbtConfig, ts: jax.Array,
