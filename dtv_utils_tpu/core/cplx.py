@@ -1,13 +1,21 @@
-"""Pair-complex arithmetic: complex values as float32 [..., 2] arrays.
+"""Complex-as-real-float32 representations and converters.
 
 The TPU backend used here (axon/v5e) implements NO complex dtype — every
-complex64 op, FFT included, is UNIMPLEMENTED.  That is not a loss: TPU
-hardware has no complex ALU either, so the honest TPU-native representation
-is an explicit (re, im) pair in the trailing axis.  Bonus: a contiguous
-float32 [..., 2] array is bit-identical to the gr_complex / .cfile format
-every reference tool reads and writes (interleaved float32 IQ —
-/root/reference/papr.c:100 reads it exactly so), making host I/O a plain
-``tofile``/``fromfile`` with zero conversion.
+complex64 op, FFT included, is UNIMPLEMENTED.  TPU hardware has no complex
+ALU either, so complex values are explicit float32 re/im reals.  TWO
+layouts serve different places:
+
+  * **pair layout** [..., 2] (re, im interleaved in the trailing axis):
+    bit-identical to the gr_complex / .cfile format every reference tool
+    reads and writes (/root/reference/papr.c:100), so HOST I/O is a plain
+    ``tofile``/``fromfile``.  Fine on device for SMALL or mid-fusion
+    values.
+  * **rail layout** [2, ...] (re rail, im rail): the DEVICE layout for
+    long IQ streams and any materialized payload-sized buffer — a
+    trailing pair axis would sit in the TPU's 128-lane minor dimension
+    and tile-pad the buffer 64x (measured r5: a [8, 3.6M, 2] temp padded
+    469 MB -> 15.8 GB and failed compile).  rails_to_np/rails_from_np
+    convert at the host boundary.
 
 All functions broadcast like their complex counterparts; dtype is float32.
 """

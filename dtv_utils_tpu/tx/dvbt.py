@@ -20,9 +20,10 @@ Output amplitude matches the reference convention: unnormalized (FFTW-style)
 inverse FFT scaled by 0.0022097087 (dvbt-blade.py:187-189; the script uses
 this constant for every mode/constellation).
 
-IQ is carried as float32 (re, im) pairs [..., 2] (core/cplx.py) — the TPU
-backend has no complex dtype, and the pair layout is bit-identical to the
-gr_complex file format — with the IFFT as batched MXU matmuls (ops/cfft.py).
+IQ is float32 re/im reals (no complex dtype on this TPU backend): (re, im)
+pairs [..., 2] mid-chain, rail-major [2, n] for the FFT working set and
+the materialized output (core/cplx.py explains the two layouts), with the
+IFFT as batched MXU matmuls on rails (ops/cfft.fft_ri).
 """
 
 from __future__ import annotations
