@@ -258,8 +258,12 @@ def constellation_pairs(constellation: T2Constellation,
 # bit-permutation wires per register width Nr-1.  The 2K/8K entries reuse
 # EN 300 744 §4.3.4.2's wires (the T2 generator is the same family);
 # other widths are structural stand-ins: PARITY-RISK.
-_CI_FEEDBACK = {10: (1, 4), 11: (1, 3), 12: (1, 5), 13: (1, 2, 4, 13),
-                9: (1, 5), 14: (1, 2, 5, 6)}
+# Feedback tap sets proven maximal-length for the corrected (DVB-T
+# §4.3.4.2 orientation) recursion below — verified by exhaustive state
+# enumeration (r5): each reaches all 2^w - 1 nonzero states.  10 and 12
+# are the published DVB-T 2K/8K sets.
+_CI_FEEDBACK = {9: (1, 5), 10: (1, 4), 11: (1, 3), 12: (1, 2, 5, 7),
+                13: (1, 10, 11, 13), 14: (1, 4, 9, 14)}
 _CI_WIRES = {
     10: (0, 7, 5, 1, 8, 2, 6, 9, 3, 4),            # 2K DVB-T wires
     11: (5, 3, 10, 6, 1, 8, 0, 9, 2, 4, 7),
@@ -282,8 +286,11 @@ def cell_interleaver_perm(n_cells: int) -> np.ndarray:
     permutation — still a valid interleaver, flagged PARITY-RISK."""
     nbits = max(int(np.ceil(np.log2(n_cells))), 2)
     width = nbits - 1
-    fb = _CI_FEEDBACK.get(width, (1, width // 2))
-    wires = _CI_WIRES.get(width, tuple(range(width)))
+    from dtv_utils_tpu.tx import t2_annex
+    fb = (t2_annex.lfsr_feedback(f"ci_{width}", width)
+          or _CI_FEEDBACK.get(width, (1, width // 2)))
+    wires = (t2_annex.lfsr_wires(f"ci_{width}", width)
+             or _CI_WIRES.get(width, tuple(range(width))))
     out = np.empty(n_cells, dtype=np.int32)
     reg = np.zeros(width, dtype=np.int64)
     count = 0
@@ -294,11 +301,16 @@ def cell_interleaver_perm(n_cells: int) -> np.ndarray:
             reg[:] = 0
             reg[0] = 1
         elif i > 2:
+            # DVB-T §4.3.4.2 orientation: the register shifts DOWN and
+            # the feedback bit enters at the TOP.  (r5 fix: the previous
+            # shift-up-feedback-at-0 recursion cycled after ~22 states
+            # for every width, so the generator ALWAYS hit the
+            # pseudo-random fallback — silently.)
             fb_bit = 0
             for t in fb:
                 fb_bit ^= reg[t - 1]
-            reg[1:] = reg[:-1]
-            reg[0] = fb_bit
+            reg[:-1] = reg[1:]
+            reg[-1] = fb_bit
         val = (i % 2) << (nbits - 1)      # toggling MSB
         for b in range(width):
             val |= int(reg[b]) << wires[b]
@@ -307,6 +319,11 @@ def cell_interleaver_perm(n_cells: int) -> np.ndarray:
             count += 1
         i += 1
     if count < n_cells or len(np.unique(out)) != n_cells:
+        import warnings
+        warnings.warn(
+            f"cell_interleaver_perm({n_cells}): LFSR generator not "
+            "maximal for this width — falling back to a seeded "
+            "pseudo-random permutation (PARITY-RISK)", stacklevel=2)
         rng = np.random.default_rng(0xCE11 ^ n_cells)
         out = rng.permutation(n_cells).astype(np.int32)
     return out

@@ -109,12 +109,16 @@ def table_status(cfg) -> list[dict]:
     if cfg.papr_tr:
         add(f"tone reservation data symbols ({n_tr} cells, annex H)",
             f"tr_{cfg.fft_size}.txt", "pseudo-random stand-in positions")
-    add("cell-interleaver LFSR wires (§6.5)", None,
-        "derived LFSR structure; wire ordering is a structural stand-in",
-        state_override="stand-in")
+    import math
+    ci_width = max(int(math.ceil(math.log2(
+        cfg.cells_per_fec_block))), 2) - 1
+    add("cell-interleaver LFSR wires (§6.5)",
+        f"wires_ci_{ci_width}.txt",
+        "derived LFSR structure; wire ordering is a structural stand-in "
+        "(loadable: wires_ci_<width>.txt / feedback_ci_<width>.txt)")
     add("freq-interleaver LFSR wires (§8.5)", None,
-        "derived LFSR structure; wire ordering is a structural stand-in",
-        state_override="stand-in")
+        "derived LFSR structure via the §6.5 generator; per-FFT wire "
+        "orderings share the wires_ci_* loader", state_override="stand-in")
     add("P1 CDS / S1 S2 / scrambling (§9.8)", None,
         "derived from generative rules, certified by Golay-pair property "
         "(tests/test_t2_p1.py)", state_override="derived")
@@ -222,6 +226,42 @@ def column_twist(nldpc: int, nc: int) -> tuple[int, ...] | None:
                              f"expected {nc}")
     if any(v < 0 or v >= nr for v in vals):
         raise AnnexDataError(f"{path.name}: offset outside [0, {nr})")
+    return tuple(vals)
+
+
+@functools.cache
+def lfsr_wires(tag: str, width: int) -> tuple[int, ...] | None:
+    """§6.5/§8.5 LFSR bit-wire permutation (``wires_<tag>.txt``: the
+    R'→R bit positions, one per LFSR bit), or None when no file is
+    installed.  These per-width orderings are editorial tables with no
+    generative rule (the LFSR structure itself is derived in
+    tx/dvbt2_tables.py); a file replaces the structural stand-in wires.
+
+    Structural validation: a permutation of 0..width-1."""
+    path = DATA_DIR / f"wires_{tag}.txt"
+    if not path.exists():
+        return None
+    vals = [v for row in _read_rows(path) for v in row]
+    if sorted(vals) != list(range(width)):
+        raise AnnexDataError(
+            f"{path.name}: not a permutation of 0..{width - 1}")
+    return tuple(vals)
+
+
+@functools.cache
+def lfsr_feedback(tag: str, width: int) -> tuple[int, ...] | None:
+    """LFSR feedback tap positions (``feedback_<tag>.txt``: 1-based tap
+    indices), or None.  Validation: taps unique, in [1, width]; the
+    consumer additionally verifies the resulting sequence is
+    maximal-length and falls back loudly if not."""
+    path = DATA_DIR / f"feedback_{tag}.txt"
+    if not path.exists():
+        return None
+    vals = [v for row in _read_rows(path) for v in row]
+    if len(set(vals)) != len(vals) or any(
+            v < 1 or v > width for v in vals):
+        raise AnnexDataError(
+            f"{path.name}: taps must be unique and within [1, {width}]")
     return tuple(vals)
 
 

@@ -13,7 +13,8 @@ def data_dir(tmp_path, monkeypatch):
     monkeypatch.setattr(t2_annex, "DATA_DIR", tmp_path)
     loaders = (t2_annex.ldpc_rows, t2_annex.continual_pilots,
                t2_annex.tr_positions, t2_annex.column_twist,
-               t2_annex.demux_map, t2_annex.scalar)
+               t2_annex.demux_map, t2_annex.scalar,
+               t2_annex.lfsr_wires, t2_annex.lfsr_feedback)
     for fn in loaders:
         fn.cache_clear()
     yield tmp_path
@@ -145,6 +146,44 @@ def test_scalar_loader_rational_and_decimal(data_dir):
     t2_annex.scalar.cache_clear()
     (data_dir / "scalar_p2_amplitude.txt").write_text("8/3\n")
     assert T2T.p2_amplitude() == pytest.approx(8 / 3)
+
+
+def test_lfsr_wire_loader(data_dir):
+    assert t2_annex.lfsr_wires("ci_10", 10) is None
+    (data_dir / "wires_ci_10.txt").write_text(
+        "# provenance: test\n0 7 5 1 8 2 6 9 3 4\n")
+    t2_annex.lfsr_wires.cache_clear()
+    assert t2_annex.lfsr_wires("ci_10", 10) == (0, 7, 5, 1, 8, 2, 6, 9,
+                                                3, 4)
+    t2_annex.lfsr_wires.cache_clear()
+    (data_dir / "wires_ci_10.txt").write_text("0 7 5 1 8 2 6 9 3 3\n")
+    with pytest.raises(t2_annex.AnnexDataError, match="permutation"):
+        t2_annex.lfsr_wires("ci_10", 10)
+    (data_dir / "feedback_ci_10.txt").write_text("1 4\n")
+    assert t2_annex.lfsr_feedback("ci_10", 10) == (1, 4)
+    t2_annex.lfsr_feedback.cache_clear()
+    (data_dir / "feedback_ci_10.txt").write_text("0 4\n")
+    with pytest.raises(t2_annex.AnnexDataError, match="taps"):
+        t2_annex.lfsr_feedback("ci_10", 10)
+
+
+def test_lfsr_wires_reach_cell_interleaver(data_dir):
+    # installed wires must change the generated permutation (consumption
+    # path), and the result must still be a permutation
+    from dtv_utils_tpu.tx import dvbt2_tables as T2T
+    T2T.cell_interleaver_perm.cache_clear()
+    base = T2T.cell_interleaver_perm(2048)
+    (data_dir / "wires_ci_10.txt").write_text(
+        "4 3 9 6 2 5 1 7 0 8\n")          # a different valid ordering
+    t2_annex.lfsr_wires.cache_clear()
+    T2T.cell_interleaver_perm.cache_clear()
+    try:
+        got = T2T.cell_interleaver_perm(2048)
+        assert sorted(got.tolist()) == list(range(2048))
+        assert not np.array_equal(got, base)
+    finally:
+        t2_annex.lfsr_wires.cache_clear()
+        T2T.cell_interleaver_perm.cache_clear()
 
 
 def test_demux_short_qam256_uses_tagged_file(data_dir):
