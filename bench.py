@@ -10,9 +10,13 @@ as the model CLIs):
 FAIL-OPEN design (VERDICT r4 next-#1 — BENCH_r04 burned every budget and
 emitted nothing):
 
-  * Each metric runs in its own subprocess with a hard wall budget
-    (TIMEOUTS), and the parent STREAMS the child's stdout line-by-line,
-    so anything the child emitted before a budget kill is already printed.
+  * TWO-PHASE driver: phase 1 runs all metrics in ONE subprocess (the
+    tunnel's per-session first-touch toll — ~4 min when the remote
+    compile service is degraded, BENCH_NOTES.md — is paid once; every
+    later compile in the session is fast; dvbt2 still last).  Phase 2
+    retries anything missing in ISOLATED per-metric subprocesses with
+    hard budgets (the wedge quarantine).  The parent STREAMS child
+    stdout line-by-line, so a budget kill loses nothing already printed.
   * Each child emits its metric after warmup + the FIRST timed segment
     (quality="provisional", segments_completed=1), then keeps refining
     and RE-EMITTING while its deadline allows (up to MAX_SEGMENTS).  A
@@ -71,6 +75,7 @@ number; its two-pass CPU loop is far below that).
 
 from __future__ import annotations
 
+import json
 import os
 import pathlib
 import statistics
@@ -89,6 +94,15 @@ J83B_FLOOR_MSPS = 5.056941 * 2           # 10.113882 Msps (qam-blade.py:36)
 # Per-bench wall budgets (seconds), covering compile + transfer + timing.
 ORDER = ("dvbt", "papr", "j83b", "dvbt2")
 TIMEOUTS = {"dvbt": 150, "papr": 120, "j83b": 150, "dvbt2": 200}
+# Extra headroom for the FIRST bench of the shared-process phase: the
+# tunnel's per-session first-touch toll was measured at ~235 s when the
+# remote-compile service is degraded (BENCH_NOTES.md).
+TOLL_ALLOWANCE_S = 600.0
+# Sized so one degraded-service first compile (~10 min observed) plus the
+# fast remainder still fits; in the healthy state phase 1 finishes in
+# ~5 min and phase 2 never runs, so the worst case only occurs when the
+# isolated path would capture nothing anyway.
+PHASE1_BUDGET = 900.0
 MAX_SEGMENTS = 5
 # Stop refining when remaining time < last segment cost * this + slack:
 # a deadline overrun loses nothing (lines already printed) but wastes the
@@ -334,6 +348,35 @@ def _run_inproc(name: str, budget: float) -> None:
     _hb(name, "bench complete")
 
 
+def _run_inproc_all(budget: float) -> None:
+    """All four metrics in ONE process (phase 1): the tunnel's
+    first-touch toll — measured at 235 s after an hour of client silence,
+    while every subsequent (even different) compile in the same process
+    is fast — is paid once instead of once per metric.  dvbt2 still runs
+    last so its trailing session-wedge cannot hurt the others; a bench
+    that hangs forfeits the rest of phase 1, which phase 2 then retries
+    in isolated subprocesses."""
+    _enable_compile_cache()
+    from dtv_utils_tpu.utils.metrics import Metrics
+    m = Metrics(suppress_human=True)
+    deadline = _T0 + budget
+    for name in ORDER:
+        left = deadline - time.perf_counter()
+        if left < 20:
+            _hb(name, f"phase-1 budget exhausted ({left:.0f}s left); "
+                      "leaving for phase 2")
+            break
+        # each bench may use the remaining phase-1 time, capped at its own
+        # per-metric budget past the first (toll-paying) bench
+        per = min(deadline, time.perf_counter() + TIMEOUTS[name]
+                  + (TOLL_ALLOWANCE_S if name == ORDER[0] else 0.0))
+        try:
+            globals()["bench_" + name](m, per)
+            _hb(name, "phase-1 bench complete")
+        except Exception as e:          # noqa: BLE001 — keep going
+            _hb(name, f"phase-1 bench failed: {type(e).__name__}: {e}")
+
+
 def _pump(pipe, sink, tag: str) -> None:
     for line in iter(pipe.readline, ""):
         if tag and not line.startswith("{"):
@@ -343,56 +386,83 @@ def _pump(pipe, sink, tag: str) -> None:
     pipe.close()
 
 
+METRIC_OF = {"dvbt": "dvbt_8k_qam64_r78_iq_throughput",
+             "papr": "papr_scan_throughput",
+             "j83b": "j83b_qam64_iq_throughput",
+             "dvbt2": "dvbt2_32k_bbc_iq_throughput"}
+
+
+def _run_child(args: list, budget: float, tag: str) -> set:
+    """Spawn a bench child, STREAM its stdout (a kill loses nothing
+    already emitted), kill at `budget`; returns the metric names it
+    emitted."""
+    p = subprocess.Popen(
+        [sys.executable, __file__, *args], text=True,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd=str(REPO))
+    got: set = set()
+
+    class _Tee:
+        def write(self, line):
+            if line.startswith("{"):
+                try:
+                    got.add(json.loads(line)["metric"])
+                except (ValueError, KeyError):
+                    pass
+            sys.stdout.write(line)
+
+        def flush(self):
+            sys.stdout.flush()
+
+    threads = [
+        threading.Thread(target=_pump, args=(p.stdout, _Tee(), ""),
+                         daemon=True),
+        threading.Thread(target=_pump, args=(p.stderr, sys.stderr, ""),
+                         daemon=True)]
+    for t in threads:
+        t.start()
+    try:
+        p.wait(timeout=budget)
+    except subprocess.TimeoutExpired:
+        p.kill()
+        p.wait()
+        print(f"[bench] {tag}: budget {budget}s exhausted (killed; "
+              f"lines already emitted stand)", file=sys.stderr, flush=True)
+    for t in threads:
+        t.join(timeout=10)
+    return got
+
+
 def main(budgets=None) -> int:
-    """Each metric in its own process: a clean backend session per
-    measurement (see module docstring), one bench crashing or hitting its
-    budget cannot take down the others, and stdout is STREAMED so a kill
-    loses nothing already emitted.  Returns the number of metrics that
-    printed nothing (0 = full success)."""
-    budgets = budgets or TIMEOUTS
+    """Two-phase fail-open driver (see module docstring).
+
+    Phase 1: ALL metrics in one subprocess — the tunnel's per-session
+    first-touch toll (~4 min when the remote-compile service is degraded)
+    is paid once, and every later compile in that session is fast.
+    Phase 2: any metric phase 1 did not emit is retried in its own
+    isolated subprocess with its per-metric budget (the wedge-quarantine
+    path).  When explicit per-metric budgets are given (--stress), only
+    the isolated path runs — the stress contract is per-metric.
+
+    Returns the number of metrics that printed nothing (0 = success)."""
     t0 = time.perf_counter()
-    missing = 0
+    got: set = set()
+    if budgets is None:
+        budgets = TIMEOUTS
+        got |= _run_child(["--inproc-all", str(PHASE1_BUDGET - 10.0)],
+                          PHASE1_BUDGET, "phase1")
     for name in ORDER:
+        if METRIC_OF[name] in got:
+            continue
         budget = budgets[name]
         # Child deadline slightly inside the kill budget so it can stop
         # cleanly and flush.
-        p = subprocess.Popen(
-            [sys.executable, __file__, "--inproc", name,
-             str(max(budget - 5.0, budget * 0.8))],
-            text=True, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            cwd=str(REPO))
-        got: list[str] = []
-
-        class _Tee:
-            def write(self, line):
-                if line.startswith("{"):
-                    got.append(line)
-                sys.stdout.write(line)
-
-            def flush(self):
-                sys.stdout.flush()
-
-        threads = [
-            threading.Thread(target=_pump, args=(p.stdout, _Tee(), ""),
-                             daemon=True),
-            threading.Thread(target=_pump, args=(p.stderr, sys.stderr, ""),
-                             daemon=True)]
-        for t in threads:
-            t.start()
-        try:
-            rc = p.wait(timeout=budget)
-        except subprocess.TimeoutExpired:
-            p.kill()
-            rc = p.wait()
-            print(f"[bench] {name}: budget {budget}s exhausted (killed; "
-                  f"lines already emitted stand)", file=sys.stderr,
+        got |= _run_child(
+            ["--inproc", name, str(max(budget - 5.0, budget * 0.8))],
+            budget, name)
+        if METRIC_OF[name] not in got:
+            print(f"[bench] {name}: NO metric emitted", file=sys.stderr,
                   flush=True)
-        for t in threads:
-            t.join(timeout=10)
-        if not got:
-            missing += 1
-            print(f"[bench] {name}: NO metric emitted (rc={rc})",
-                  file=sys.stderr, flush=True)
+    missing = sum(METRIC_OF[n] not in got for n in ORDER)
     print(f"[bench] total {time.perf_counter() - t0:.1f}s, "
           f"{missing} metric(s) missing", file=sys.stderr, flush=True)
     return missing
@@ -426,7 +496,9 @@ def sweep(name: str, sizes=(1, 2, 4, 8), budget: float = 100.0) -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--inproc":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--inproc-all":
+        _run_inproc_all(float(sys.argv[2]) if len(sys.argv) > 2 else 600.0)
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--inproc":
         budget = float(sys.argv[3]) if len(sys.argv) > 3 else 120.0
         _run_inproc(sys.argv[2], budget)
     elif len(sys.argv) >= 3 and sys.argv[1] == "--sweep":
