@@ -295,18 +295,36 @@ def bench_j83b(metrics, deadline) -> None:
     from dtv_utils_tpu.tx import j83b as txq
     _hb("j83b", "imports done")
 
+    # Serving shape: 4 independent muxes round-robin, one superblock per
+    # dispatch — the SAME single-block program the profiler measures at
+    # ~30 ms/superblock, which compiles in ~1 min.  The carry-derivation
+    # batched/sharded variant is this repo's worst XLA compile (>4 min
+    # even on a healthy service — the vmapped halo->carry derivation
+    # replays framing+RS+interleave per block); at 8 blocks it OOMed
+    # outright before the r5 rail-major layout (BENCH_NOTES.md).  A
+    # 30 ms dispatch amortizes the ~8 ms tunnel overhead fine, so the
+    # batched shape buys little here anyway.
     cfg = J83bConfig()
-    mesh = ps.make_mesh(jax.devices()[:1])
+    fn = jax.jit(lambda ts, st: txq.modulate_superblock(cfg, ts, st),
+                 donate_argnums=(1,))
+    n_streams = 4
+    rng = np.random.default_rng(2)
+    states = [txq.init_state(cfg) for _ in range(n_streams)]
     _hb("j83b", f"devices acquired: {jax.devices()}")
-    run, sharding = ps.sharded_j83b_modulator(cfg, mesh)
-    # 4 blocks/dispatch: at 8 the XLA TPU compile pads a [8, 3.6M, 2]
-    # float32 temp from 469 MB to 15.8 GB (T(2,128) minor-dim layout, 2.9%
-    # utilization) and the compile itself fails with a remote HTTP 500 —
-    # the root cause of r4's silent j83b timeout (BENCH_NOTES.md).
-    _batched_bench(metrics, "j83b_qam64_iq_throughput", run, sharding,
-                   n_blocks=4, block_bytes=txq.PACKETS_PER_SUPERBLOCK * 188,
-                   samples_per_block=3612420, floor=J83B_FLOOR_MSPS,
-                   deadline=deadline, seed=2)
+    blk = txq.PACKETS_PER_SUPERBLOCK * 188
+
+    import jax.numpy as jnp
+    del ps
+
+    def make_round(r):
+        return [jax.device_put(jnp.asarray(_ts_block(rng, blk)))
+                for _ in range(n_streams)]
+
+    _deadline_segments(
+        metrics, "j83b_qam64_iq_throughput", fn, make_round, states,
+        samples_per_round=n_streams * 3612420, rounds_per_segment=2,
+        floor=J83B_FLOOR_MSPS, deadline=deadline,
+        blocks_per_dispatch=1, streams=n_streams)
 
 
 def bench_papr(metrics, deadline) -> None:
