@@ -42,3 +42,25 @@ def test_pair_view_roundtrip():
     # pair layout is bit-identical to the gr_complex interleaved-f32 format
     np.testing.assert_array_equal(cplx.from_np(c).reshape(-1),
                                   c.view(np.float32))
+
+
+def test_rails_fft_bit_identical_to_pairs_fft():
+    """fft_rails / fft_ri (the r5 rail-major device path) must be
+    BIT-identical to fft_pairs — same arithmetic, only the stacking
+    moved — and rails_to_np/rails_from_np must round-trip."""
+    from dtv_utils_tpu.ops.cfft import fft_pairs, fft_rails, fft_ri
+    for n in (256, 2048):
+        c = (RNG.normal(size=(3, n))
+             + 1j * RNG.normal(size=(3, n))).astype(np.complex64)
+        pairs = jnp.asarray(cplx.from_np(c))            # [3, n, 2]
+        rails = jnp.asarray(cplx.rails_from_np(c, axis=1))   # [3, 2, n]
+        for sign in (-1, +1):
+            a = np.asarray(fft_pairs(pairs, sign))
+            b = np.asarray(fft_rails(rails, sign))
+            np.testing.assert_array_equal(np.moveaxis(a, -1, -2), b)
+            br, bi = fft_ri(rails[:, 0, :], rails[:, 1, :], sign)
+            np.testing.assert_array_equal(b[:, 0, :], np.asarray(br))
+            np.testing.assert_array_equal(b[:, 1, :], np.asarray(bi))
+    # host-boundary converters round-trip
+    np.testing.assert_array_equal(
+        cplx.rails_to_np(cplx.rails_from_np(c, axis=1), axis=1), c)

@@ -93,6 +93,29 @@ def test_map_and_interleave_vs_serial():
                                atol=1e-6)
 
 
+def test_word_sum_strided_equals_reshape():
+    """interleave_and_map's strided-slice bit-to-word sum (r5: avoids a
+    16x-padded [blocks, nc, v] temp on TPU) must equal the direct
+    reshape-and-dot formulation on random bits."""
+    cfg = CFG
+    from dtv_utils_tpu.tx.dvbt2 import _plan
+    p = _plan(cfg)
+    v = cfg.constellation.bits_per_symbol
+    fec = RNG.integers(0, 2, size=(3, cfg.nldpc), dtype=np.uint8)
+    comp = np.arange(cfg.nldpc, dtype=np.int32)
+    if p["bit_perm"] is not None:
+        comp = np.asarray(p["bit_perm"], dtype=np.int32)[comp]
+    comp = comp.reshape(-1, len(p["dperm"]))[
+        :, np.asarray(p["dperm"])].reshape(-1)
+    y = fec.T[comp].T                                 # [blocks, nbits]
+    want = (y.reshape(3, -1, v).astype(np.int64)
+            * np.asarray(p["pow2"]).reshape(-1)).sum(-1)
+    yT = fec.T[comp].astype(np.int64)
+    pow2 = [int(w) for w in np.asarray(p["pow2"]).reshape(-1)]
+    got = sum(yT[e::v, :] * pow2[e] for e in range(v)).T
+    np.testing.assert_array_equal(got, want)
+
+
 def test_fecframe_is_valid_codeword():
     """BCH remainder of the systematic part must be the parity; LDPC parity
     accumulator must check out (re-encode equals encode)."""
